@@ -1,0 +1,79 @@
+"""Run options for dwarfs.
+
+TPU-native equivalent of the reference's ``common/options.{hpp,cpp}``
+(reference: common/options.hpp:6-21, common/options.cpp:3-33). The reference
+models devices as CPU/GPU/iGPU (SYCL backends); here the accelerator is a TPU
+chip (JAX backend), with ``gpu``/``igpu`` accepted as aliases so the reference's
+CLI invocations keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List
+
+
+class DeviceType(enum.Enum):
+    """Execution device. Reference: common/options.hpp:7."""
+
+    CPU = "CPU"
+    TPU = "TPU"
+    DEFAULT = "DEFAULT"
+
+    def __str__(self) -> str:
+        return to_string(self)
+
+
+def parse_device_type(s: str) -> DeviceType:
+    """Parse a device string the way the reference's ``operator>>`` does
+    (common/options.cpp:3-18): case-insensitive; unknown strings map to
+    Default. ``gpu``/``igpu`` are aliases for the accelerator (TPU)."""
+    t = s.strip().lower()
+    if t == "cpu":
+        return DeviceType.CPU
+    if t in ("tpu", "gpu", "igpu"):
+        return DeviceType.TPU
+    return DeviceType.DEFAULT
+
+
+def to_string(dt: DeviceType) -> str:
+    """CSV/report device name (reference: common/options.cpp:20-33, where
+    Default prints as the accelerator name)."""
+    if dt == DeviceType.CPU:
+        return "CPU"
+    return "TPU"
+
+
+@dataclasses.dataclass
+class RunOptions:
+    """Reference: common/options.hpp:6-14."""
+
+    device_ty: DeviceType = DeviceType.DEFAULT
+    input_size: List[int] = dataclasses.field(default_factory=list)
+    iterations: int = 1
+    root_path: str = ""
+    report_path: str = ""
+    # Deliberate deviation from the reference: the reference seeds all data
+    # generators from std::random_device (non-deterministic across runs,
+    # common/common.hpp:31-40). Exact row parity across runs/hosts requires
+    # determinism, so every generator here derives from this seed.
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class GroupByRunOptions(RunOptions):
+    """Reference: common/options.hpp:16-21."""
+
+    groups_count: int = 1
+    executors: int = 1
+
+    @classmethod
+    def from_options(
+        cls, opts: RunOptions, groups_count: int, executors: int
+    ) -> "GroupByRunOptions":
+        return cls(
+            **dataclasses.asdict(opts),
+            groups_count=groups_count,
+            executors=executors,
+        )

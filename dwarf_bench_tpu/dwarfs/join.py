@@ -1,0 +1,189 @@
+"""Join dwarfs: Join, NestedLoopJoin, JoinOmnisci (+Cuda alias), SlabJoin.
+
+Reference:
+  * Join (join/join.cpp): 1:1 hash join over unique keys; build/probe time
+    split (join.cpp:111-113); order-insensitive compare vs. seq_join oracle.
+  * NestedLoopJoin (join/nested_join.cpp): O(n²) dense compare.
+  * JoinOmnisci (join/join_omnisci.cpp): one-to-many CSR-index join over
+    duplicate keys; build = table + id buffer, probe = lookup views.
+  * SlabJoin (join/slab_join.cpp): hash join through the slab (bucketized)
+    table; unique keys; build/probe split.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..common.datagen import derive_seed, make_random, make_unique_random
+from ..common.options import DeviceType
+from ..common.result import HashJoinResult
+from ..ops import bucket_hash, csr_join
+from ..ops import join as join_ops
+from ..ops.primitives import compact_multi
+from .base import TpuDwarf, block
+
+import jax
+import jax.numpy as jnp
+
+
+class Join(TpuDwarf):
+    def __init__(self):
+        super().__init__("Join")
+
+    def _run(self, buf_size: int, meter) -> None:
+        opts = meter.opts
+        s = lambda i: derive_seed(opts.seed, buf_size, i)
+        a_keys = make_unique_random(buf_size, seed=s(0))
+        a_vals = make_unique_random(buf_size, seed=s(1))
+        b_keys = make_unique_random(buf_size, seed=s(2))
+        b_vals = make_unique_random(buf_size, seed=s(3))
+        expected = join_ops.seq_join_oracle(a_keys, a_vals, b_keys, b_vals)
+        device = self.device(opts)
+        ht_size = 2 * buf_size  # join.cpp:28
+        hseed = derive_seed(opts.seed, buf_size, 4) & 0xFFFFFFFF
+
+        for _ in range(opts.iterations):
+            t0 = time.perf_counter()
+            da_k, da_v, db_k, db_v = self.put(
+                device, a_keys, a_vals, b_keys, b_vals
+            )
+            table = block(
+                join_ops.hash_join_build(da_k, da_v, ht_size, np.uint32(hseed))
+            )
+            t_build = time.perf_counter()
+            res = block(
+                join_ops.hash_join_probe(table, db_k, db_v, np.uint32(hseed))
+            )
+            t_end = time.perf_counter()
+            result = HashJoinResult(
+                host_time=t_end - t0,
+                build_time=t_build - t0,
+                probe_time=t_end - t_build,
+            )
+            result.valid = np.array_equal(
+                join_ops.join_rows_sorted(res), expected
+            )
+            meter.add_result({"buf_size": str(buf_size)}, result)
+
+
+class NestedLoopJoin(TpuDwarf):
+    def __init__(self):
+        super().__init__("NestedLoopJoin")
+
+    def _run(self, buf_size: int, meter) -> None:
+        opts = meter.opts
+        s = lambda i: derive_seed(opts.seed, buf_size, i)
+        a_keys = make_unique_random(buf_size, seed=s(0))
+        a_vals = make_unique_random(buf_size, seed=s(1))
+        b_keys = make_unique_random(buf_size, seed=s(2))
+        b_vals = make_unique_random(buf_size, seed=s(3))
+        expected = join_ops.seq_join_oracle(a_keys, a_vals, b_keys, b_vals)
+        device = self.device(opts)
+
+        for _ in range(opts.iterations):
+            res, dev, host_time = self.timed_with_transfer(
+                device, join_ops.nested_loop_join,
+                (a_keys, a_vals, b_keys, b_vals),
+            )
+            _, kernel_time = self.timed(join_ops.nested_loop_join, *dev)
+            result = HashJoinResult(
+                host_time=host_time, kernel_time=kernel_time
+            )
+            result.valid = np.array_equal(
+                join_ops.join_rows_sorted(res), expected
+            )
+            meter.add_result({"buf_size": str(buf_size)}, result)
+
+
+class JoinOmnisci(TpuDwarf):
+    def __init__(self, name: str = "JoinOmnisci"):
+        super().__init__(name)
+
+    def _run(self, buf_size: int, meter) -> None:
+        opts = meter.opts
+        s = lambda i: derive_seed(opts.seed, buf_size, i)
+        a_keys = make_random(buf_size, seed=s(0), dtype=np.uint32)
+        b_keys = make_random(buf_size, seed=s(1), dtype=np.uint32)
+        # host-side distinct count sizes the table (join_omnisci.cpp:55-69)
+        unique_keys = len(np.unique(a_keys))
+        ht_size = unique_keys * 2
+        distinct_cap = unique_keys
+        expected = csr_join.oracle_id_sets(a_keys, b_keys)
+        device = self.device(opts)
+
+        for _ in range(opts.iterations):
+            t0 = time.perf_counter()
+            da_k, db_k = self.put(device, a_keys, b_keys)
+            table = block(csr_join.build(da_k, distinct_cap, ht_size))
+            t_build = time.perf_counter()
+            res = block(csr_join.probe(table, db_k))
+            t_end = time.perf_counter()
+            result = HashJoinResult(
+                host_time=t_end - t0,
+                build_time=t_build - t0,
+                probe_time=t_end - t_build,
+            )
+            result.valid = csr_join.join_id_sets(table, res) == expected
+            meter.add_result({"buf_size": str(buf_size)}, result)
+
+
+class JoinOmnisciCuda(JoinOmnisci):
+    """Accelerator-pinned alias (join/join_omnisci_cuda.cpp)."""
+
+    def __init__(self):
+        super().__init__("JoinOmnisciCuda")
+
+    def device(self, opts):
+        from ..common.device import resolve_device
+
+        return resolve_device(DeviceType.TPU)
+
+
+@jax.jit
+def _slab_probe_join(table, b_keys, b_vals):
+    found, a_val = bucket_hash.find(table, b_keys)
+    (k, av, bv), count = compact_multi(
+        (b_keys.astype(jnp.uint32), a_val.astype(jnp.uint32),
+         b_vals.astype(jnp.uint32)),
+        found,
+    )
+    return join_ops.JoinResult(k, av, bv, count)
+
+
+class SlabJoin(TpuDwarf):
+    def __init__(self):
+        super().__init__("SlabJoin")
+
+    def _run(self, buf_size: int, meter) -> None:
+        opts = meter.opts
+        s = lambda i: derive_seed(opts.seed, buf_size, i)
+        a_keys = make_unique_random(buf_size, seed=s(0))
+        a_vals = make_unique_random(buf_size, seed=s(1))
+        b_keys = make_unique_random(buf_size, seed=s(2))
+        b_vals = make_unique_random(buf_size, seed=s(3))
+        expected = join_ops.seq_join_oracle(a_keys, a_vals, b_keys, b_vals)
+        device = self.device(opts)
+        # fixed bucket count like the reference's BUCKETS_COUNT=1024
+        # (slab_hash.hpp:24-26)
+        nb = 1024
+
+        for _ in range(opts.iterations):
+            t0 = time.perf_counter()
+            da_k, da_v, db_k, db_v = self.put(
+                device, a_keys, a_vals, b_keys, b_vals
+            )
+            table = block(bucket_hash.build(da_k, da_v, nb))
+            t_build = time.perf_counter()
+            res = block(_slab_probe_join(table, db_k, db_v))
+            t_end = time.perf_counter()
+            result = HashJoinResult(
+                host_time=t_end - t0,
+                build_time=t_build - t0,
+                probe_time=t_end - t_build,
+            )
+            result.valid = np.array_equal(
+                join_ops.join_rows_sorted(res), expected
+            )
+            meter.add_result({"buf_size": str(buf_size)}, result)

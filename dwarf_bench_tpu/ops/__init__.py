@@ -1,0 +1,27 @@
+from . import (
+    bucket_hash,
+    csr_join,
+    cuckoo,
+    groupby,
+    hashing,
+    hashtable,
+    join,
+    primitives,
+    reduce,
+    scan,
+    sort,
+)
+
+__all__ = [
+    "bucket_hash",
+    "csr_join",
+    "cuckoo",
+    "groupby",
+    "hashing",
+    "hashtable",
+    "join",
+    "primitives",
+    "reduce",
+    "scan",
+    "sort",
+]

@@ -1,0 +1,125 @@
+"""One-to-many hash join with a CSR (positions + counts + ids) index.
+
+Re-derivation of the reference's OmniSci-style join table
+(common/dpcpp/omnisci_hashtable.hpp): four buffers — distinct keys
+(``hash_table``), per-key counts, exclusive-scan positions, and row ids
+grouped by key (``id_buffer``); probe returns a (position, count) view per
+query (omnisci_hashtable.hpp:80-192).
+
+On TPU the atomic count/scatter passes collapse into one sort:
+
+  * sort (key, row_id) by key — the id_buffer IS the sorted row-id column;
+  * segment starts give distinct keys, positions (= start offsets), and
+    counts (= start diffs) with no atomics and no second pass;
+  * the probe-side "hash table" maps key → segment index via the parking
+    construction (ops/hashtable.py) with SimpleHasher homes, matching the
+    reference's hasher choice (join/join_omnisci.cpp:70).
+
+All buffers are fixed-capacity: ``distinct_cap`` bounds the number of
+distinct keys (the reference sizes its table from a host-side
+count_distinct, join_omnisci.cpp:55-69 — same host knowledge used here to
+pick static capacities).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hashtable
+from .hashing import simple_hash
+from .primitives import compact, compact_multi, sort_by_key
+
+
+class CsrJoinTable(NamedTuple):
+    table: hashtable.HashTable  # key → segment index
+    pos: jnp.ndarray  # (distinct_cap,) start offset of each segment
+    counts: jnp.ndarray  # (distinct_cap,) rows per segment
+    id_buffer: jnp.ndarray  # (n,) A row ids grouped by key
+    num_distinct: jnp.ndarray  # int32 scalar
+
+
+class CsrProbeResult(NamedTuple):
+    found: jnp.ndarray  # (nb,) bool
+    pos: jnp.ndarray  # (nb,) start into id_buffer
+    counts: jnp.ndarray  # (nb,) match count
+
+
+@partial(jax.jit, static_argnames=("distinct_cap", "ht_size"))
+def build(
+    a_keys: jnp.ndarray,
+    distinct_cap: int,
+    ht_size: int,
+    row_ids: jnp.ndarray | None = None,
+) -> CsrJoinTable:
+    """Rows with key == EMPTY (0xFFFFFFFF) are padding and are excluded —
+    they sort last, so the valid prefix after the sort is contiguous.
+    ``row_ids`` overrides the default local row numbering (used by the
+    distributed join to carry global ids through the shuffle)."""
+    n = a_keys.shape[0]
+    ids = jnp.arange(n, dtype=jnp.uint32) if row_ids is None else row_ids
+    sk, sid = sort_by_key(a_keys.astype(jnp.uint32), ids.astype(jnp.uint32))
+    row_valid = sk != hashtable.EMPTY
+    n_eff = jnp.sum(row_valid.astype(jnp.int32))
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    is_start = is_start & row_valid
+    num_distinct = jnp.sum(is_start.astype(jnp.int32))
+    row_idx = jnp.arange(n, dtype=jnp.int32)
+    # Segment start offsets; padding = n_eff so absent segments diff to 0.
+    starts, _ = compact(row_idx, is_start, capacity=distinct_cap, fill=0)
+    starts = jnp.where(
+        jnp.arange(distinct_cap) < num_distinct, starts, n_eff
+    )
+    counts = jnp.concatenate([starts[1:], n_eff[None]]) - starts
+    counts = jnp.maximum(counts, 0)
+    distinct_keys, _ = compact(
+        sk, is_start, capacity=distinct_cap, fill=hashtable.EMPTY
+    )
+    seg_index = jnp.arange(distinct_cap, dtype=jnp.int32)
+    valid = jnp.arange(distinct_cap) < num_distinct
+    home = simple_hash(distinct_keys, ht_size)
+    table = hashtable.build(
+        distinct_keys, home, ht_size, payload=(seg_index,), valid=valid
+    )
+    return CsrJoinTable(table, starts, counts, sid, num_distinct)
+
+
+@jax.jit
+def probe(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
+    """lookup() per B row: (found, position, count) — the TPU analog of the
+    reference's JoinOneToMany{ptr,size} views (omnisci_hashtable.hpp:149-192).
+    """
+    home = simple_hash(b_keys, t.table.size)
+    found, seg = hashtable.lookup(t.table, b_keys, home, default=0)
+    # padded queries (EMPTY sentinel) never match
+    found = found & (b_keys.astype(jnp.uint32) != hashtable.EMPTY)
+    seg = jnp.where(found, seg, 0).astype(jnp.int32)
+    pos = jnp.where(found, t.pos[seg], 0)
+    cnt = jnp.where(found, t.counts[seg], 0)
+    return CsrProbeResult(found, pos, cnt)
+
+
+def join_id_sets(t: CsrJoinTable, res: CsrProbeResult):
+    """Materialize per-probe-row id sets for oracle comparison
+    (join_omnisci.cpp:15-45 builds the same structure on the host)."""
+    idbuf = np.asarray(t.id_buffer)
+    pos = np.asarray(res.pos)
+    cnt = np.asarray(res.counts)
+    return [
+        set(idbuf[p : p + c].tolist()) if c > 0 else set()
+        for p, c in zip(pos, cnt)
+    ]
+
+
+def oracle_id_sets(a_keys, b_keys):
+    """Host oracle: for each B row, the set of A row ids with equal key
+    (join_omnisci.cpp:15-45, without the O(n²) scan)."""
+    a_keys = np.asarray(a_keys)
+    by_key = {}
+    for i, k in enumerate(a_keys):
+        by_key.setdefault(int(k), set()).add(i)
+    return [by_key.get(int(k), set()) for k in np.asarray(b_keys)]

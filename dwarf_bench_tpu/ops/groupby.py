@@ -1,0 +1,155 @@
+"""Group-by sum aggregation.
+
+The reference aggregates with a CAS + fetch_add hash table
+(groupby/groupby.cpp:58-93 via NonOwningHashTableNonBitmask::add,
+hashtable.hpp:136-153) and a partitioned variant where each executor owns a
+private table merged serially afterwards (groupby/groupby_local.cpp:58-112).
+Keys are dense in [0, groups_count), so the observable output is a dense
+``output[groups_count]`` sum array.
+
+TPU re-derivations (no atomics):
+
+  * ``groupby_sum_matmul`` — per-tile one-hot matmul on the MXU:
+    ``acc += onehot(keys_tile) @ vals_tile``. Exactness: with 1024-row tiles,
+    each f32 partial sum is ≤ 1024·10000 < 2^24, so every f32 add is exact;
+    tile partials are accumulated in int32 (wrapping like the C++ uint32
+    oracle). The fastest path for small-to-medium group counts — the
+    aggregation rides the systolic array instead of scattered memory.
+  * ``groupby_sum_sorted`` — sort rows by key, then per-segment sums from
+    differences of an inclusive cumsum (wrap-exact in int32), scattered to
+    the dense output at unique indices. Scales to large group counts.
+  * ``groupby_sum_scatter`` — single scatter-add; XLA's fallback lowering.
+
+  * ``groupby_local`` — the partitioned shape: rows are split into
+    ``executors`` contiguous chunks (groupby_local.cpp:66-70); each chunk
+    produces a private dense partial (vmapped one-hot matmul = the
+    LinearHashtable per executor), then partials are tree-reduced over the
+    executor axis (the reference's serial merge, groupby_local.cpp:87-112).
+    Returns both stages separately so the dwarf can time group vs. reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TILE = 1024  # keeps f32 one-hot partial sums exact: 1024 * 10000 < 2^24
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
+def groupby_sum_matmul(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
+    n = keys.shape[0]
+    pad = (-n) % _TILE
+    k = jnp.pad(keys.astype(jnp.int32), (0, pad), constant_values=num_groups)
+    v = jnp.pad(vals.astype(jnp.int32), (0, pad))
+    kt = k.reshape(-1, _TILE)
+    vt = v.reshape(-1, _TILE).astype(jnp.float32)
+
+    def tile_partial(args):
+        kt_i, vt_i = args
+        onehot = (kt_i[:, None] == jnp.arange(num_groups)[None, :]).astype(
+            jnp.float32
+        )
+        # (1, TILE) @ (TILE, G) on the MXU; exact in f32 (partials < 2^24)
+        return (vt_i[None, :] @ onehot)[0].astype(jnp.int32)
+
+    partials = jax.lax.map(tile_partial, (kt, vt))  # (tiles, G) int32
+    return jnp.sum(partials, axis=0, dtype=jnp.int32).astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
+def groupby_sum_sorted(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
+    n = keys.shape[0]
+    sk, sv = jax.lax.sort(
+        (keys.astype(jnp.int32), vals.astype(jnp.int32)), num_keys=1
+    )
+    cs = jnp.cumsum(sv, dtype=jnp.int32)  # wraps mod 2^32 like uint32
+    is_end = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+    # segment sum = cumsum at segment end − cumsum at previous segment end
+    ends = jnp.where(is_end, cs, 0)
+    prev = jnp.where(is_end, jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                              cs[:-1]]), 0)
+    # prev above is cumsum just before this row; we need cumsum at the
+    # previous segment's end, i.e. cumsum before this segment's first row.
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    seg_base = jnp.where(
+        is_start, jnp.concatenate([jnp.zeros((1,), jnp.int32), cs[:-1]]), 0
+    )
+    # propagate each segment's base to its end row via a max-scan on
+    # (row index of start, base) — simpler: scatter base by key, then diff.
+    out_end = jnp.zeros((num_groups + 1,), jnp.int32)
+    out_base = jnp.zeros((num_groups + 1,), jnp.int32)
+    out_end = out_end.at[jnp.where(is_end, sk, num_groups)].set(ends, mode="drop")
+    out_base = out_base.at[jnp.where(is_start, sk, num_groups)].set(
+        seg_base, mode="drop"
+    )
+    return (out_end[:num_groups] - out_base[:num_groups]).astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
+def groupby_sum_scatter(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
+    out = jnp.zeros((num_groups,), jnp.int32)
+    return out.at[keys.astype(jnp.int32)].add(vals.astype(jnp.int32)).astype(
+        jnp.uint32
+    )
+
+
+def groupby_sum(keys, vals, num_groups: int):
+    """Dispatch: MXU one-hot path for small group counts, sort path beyond."""
+    if num_groups <= 4096:
+        return groupby_sum_matmul(keys, vals, num_groups)
+    return groupby_sum_sorted(keys, vals, num_groups)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "executors"))
+def groupby_partials(
+    keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int, executors: int
+):
+    """Stage 1 of GroupByLocal: per-executor private dense partials over
+    contiguous row chunks (groupby_local.cpp:58-83). Rows beyond
+    ``executors * (n // executors)`` chunks are distributed like the
+    reference's work-per-executor ceil split."""
+    n = keys.shape[0]
+    per = -(-n // executors)
+    pad = executors * per - n
+    k = jnp.pad(keys.astype(jnp.int32), (0, pad), constant_values=num_groups)
+    v = jnp.pad(vals.astype(jnp.int32), (0, pad))
+    kc = k.reshape(executors, per)
+    vc = v.reshape(executors, per).astype(jnp.float32)
+
+    def one_exec(kc_i, vc_i):
+        onehot = (kc_i[:, None] == jnp.arange(num_groups)[None, :]).astype(
+            jnp.float32
+        )
+        return (vc_i[None, :] @ onehot)[0].astype(jnp.int32)
+
+    if per > _TILE:
+        # keep f32 exactness: split each chunk into ≤1024-row tiles
+        tiles = -(-per // _TILE)
+        padded = tiles * _TILE - per
+        kc = jnp.pad(kc, ((0, 0), (0, padded)), constant_values=num_groups)
+        vc = jnp.pad(vc, ((0, 0), (0, padded)))
+        kc = kc.reshape(executors * tiles, _TILE)
+        vc = vc.reshape(executors * tiles, _TILE)
+        parts = jax.vmap(one_exec)(kc, vc)
+        return jnp.sum(
+            parts.reshape(executors, tiles, num_groups), axis=1,
+            dtype=jnp.int32,
+        )
+    return jax.vmap(one_exec)(kc, vc)  # (executors, G) int32
+
+
+@jax.jit
+def groupby_merge(partials: jnp.ndarray):
+    """Stage 2: tree-reduce executor partials (groupby_local.cpp:87-112)."""
+    return jnp.sum(partials, axis=0, dtype=jnp.int32).astype(jnp.uint32)
+
+
+def groupby_oracle(keys, vals, num_groups: int) -> np.ndarray:
+    """Dense scalar oracle (groupby/groupby.cpp:8-19) with uint32 wrap."""
+    out = np.zeros(num_groups, np.uint32)
+    np.add.at(out, np.asarray(keys, np.int64), np.asarray(vals, np.uint32))
+    return out

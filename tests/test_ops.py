@@ -1,0 +1,131 @@
+"""Operator-level oracle tests: scan/filter, sort, reduce, groupby, joins."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dwarf_bench_tpu.ops import csr_join, groupby, join, reduce as red, scan, sort
+
+
+class TestFilter:
+    @pytest.mark.parametrize("fn", [scan.filter_xla, scan.filter_two_pass])
+    @pytest.mark.parametrize("n", [1, 100, 8192, 100_000])
+    def test_vs_oracle(self, rng, fn, n):
+        x = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+        out, cnt = fn(jnp.asarray(x))
+        exp = scan.filter_oracle(x)
+        assert int(cnt) == len(exp)
+        assert np.array_equal(np.asarray(out)[: len(exp)], exp)
+
+    def test_all_match(self):
+        x = np.ones(1000, np.int32)
+        out, cnt = scan.filter_two_pass(jnp.asarray(x))
+        assert int(cnt) == 1000
+        assert (np.asarray(out) == 1).all()
+
+    def test_none_match(self):
+        x = np.full(1000, 99, np.int32)
+        out, cnt = scan.filter_xla(jnp.asarray(x))
+        assert int(cnt) == 0
+
+
+class TestSortReduce:
+    @pytest.mark.parametrize("n", [1, 255, 65536])
+    def test_sort(self, rng, n):
+        x = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+        assert np.array_equal(np.asarray(sort.sort_xla(jnp.asarray(x))),
+                              sort.sort_oracle(x))
+
+    def test_reduce_wraps_like_int32(self, rng):
+        x = rng.integers(1, 10000, 1_000_000, endpoint=True).astype(np.int32)
+        assert int(np.int32(np.asarray(red.reduce_sum(jnp.asarray(x))))) == \
+            red.reduce_oracle(x)
+
+
+class TestGroupBy:
+    @pytest.mark.parametrize("G", [1, 20, 64, 1024])
+    def test_all_variants(self, rng, G):
+        n = 10_000
+        keys = rng.integers(0, G, n).astype(np.uint32)
+        vals = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        exp = groupby.groupby_oracle(keys, vals, G)
+        for fn in (groupby.groupby_sum_matmul, groupby.groupby_sum_sorted,
+                   groupby.groupby_sum_scatter):
+            got = np.asarray(fn(jnp.asarray(keys), jnp.asarray(vals), G))
+            assert np.array_equal(got, exp), fn.__name__
+
+    def test_large_group_count_dispatch(self, rng):
+        G = 65536
+        n = 50_000
+        keys = rng.integers(0, G, n).astype(np.uint32)
+        vals = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        exp = groupby.groupby_oracle(keys, vals, G)
+        got = np.asarray(groupby.groupby_sum(jnp.asarray(keys),
+                                             jnp.asarray(vals), G))
+        assert np.array_equal(got, exp)
+
+    @pytest.mark.parametrize("executors", [1, 16, 1024])
+    def test_local_partition_merge(self, rng, executors):
+        G, n = 64, 20_000
+        keys = rng.integers(0, G, n).astype(np.uint32)
+        vals = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        parts = groupby.groupby_partials(jnp.asarray(keys), jnp.asarray(vals),
+                                         G, executors)
+        got = np.asarray(groupby.groupby_merge(parts))
+        assert np.array_equal(got, groupby.groupby_oracle(keys, vals, G))
+
+    def test_sum_wraps_uint32(self):
+        keys = np.zeros(5000, np.uint32)
+        vals = np.full(5000, 4_000_000, np.uint32)  # sum 2e10 wraps
+        exp = groupby.groupby_oracle(keys, vals, 4)
+        got = np.asarray(groupby.groupby_sum_sorted(jnp.asarray(keys),
+                                                    jnp.asarray(vals), 4))
+        assert np.array_equal(got, exp)
+
+
+class TestJoin:
+    def _data(self, rng, n):
+        mk = lambda: rng.choice(np.arange(1, n * 10 + 1), n,
+                                replace=False).astype(np.uint32)
+        return mk(), mk(), mk(), mk()
+
+    @pytest.mark.parametrize("n", [16, 500])
+    def test_hash_join_vs_oracle(self, rng, n):
+        ak, av, bk, bv = self._data(rng, n)
+        t = join.hash_join_build(jnp.asarray(ak), jnp.asarray(av), 2 * n, 3)
+        res = join.hash_join_probe(t, jnp.asarray(bk), jnp.asarray(bv), 3)
+        assert np.array_equal(join.join_rows_sorted(res),
+                              join.seq_join_oracle(ak, av, bk, bv))
+
+    def test_nested_loop_vs_oracle(self, rng):
+        ak, av, bk, bv = self._data(rng, 200)
+        res = join.nested_loop_join(jnp.asarray(ak), jnp.asarray(av),
+                                    jnp.asarray(bk), jnp.asarray(bv))
+        assert np.array_equal(join.join_rows_sorted(res),
+                              join.seq_join_oracle(ak, av, bk, bv))
+
+
+class TestCsrJoin:
+    @pytest.mark.parametrize("n,hi", [(100, 20), (3000, 10000)])
+    def test_id_sets(self, rng, n, hi):
+        A = rng.integers(1, hi, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, hi, n, endpoint=True).astype(np.uint32)
+        d = len(np.unique(A))
+        t = csr_join.build(jnp.asarray(A), distinct_cap=d, ht_size=2 * d)
+        res = csr_join.probe(t, jnp.asarray(B))
+        assert csr_join.join_id_sets(t, res) == csr_join.oracle_id_sets(A, B)
+
+    def test_counts_and_positions_consistent(self, rng):
+        n = 1000
+        A = rng.integers(1, 50, n, endpoint=True).astype(np.uint32)
+        d = len(np.unique(A))
+        t = csr_join.build(jnp.asarray(A), distinct_cap=d, ht_size=2 * d)
+        counts = np.asarray(t.counts)[:d]
+        pos = np.asarray(t.pos)[:d]
+        assert counts.sum() == n
+        assert np.array_equal(pos, np.concatenate([[0], np.cumsum(counts)[:-1]]))
+        # id_buffer grouped by key: each segment holds rows with equal key
+        idbuf = np.asarray(t.id_buffer)
+        for j in range(d):
+            seg_ids = idbuf[pos[j]: pos[j] + counts[j]]
+            assert len(set(A[seg_ids])) == 1
