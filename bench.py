@@ -49,16 +49,13 @@ def _device_bw() -> float:
     return _HBM_BW["cpu"] if d.platform == "cpu" else 819e9
 
 
-def _time_min(fn, *args, repeats=5):
-    import jax
+def _time_min(fn, *args, repeats=3):
+    """Per-execution seconds. queue-k amortized timing with a scalar-fetch
+    fence (block_until_ready is not a fence on the tunneled TPU plugin);
+    min over a few amortized estimates."""
+    from dwarf_bench_tpu.utils.timing import time_amortized
 
-    jax.block_until_ready(fn(*args))  # compile + warmup
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return min(time_amortized(fn, *args, k=8) for _ in range(repeats))
 
 
 def main() -> None:

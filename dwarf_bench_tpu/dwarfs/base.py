@@ -22,10 +22,14 @@ import jax
 from ..common.dwarf import Dwarf
 from ..common.device import resolve_device
 from ..common.options import RunOptions, to_string
+from ..utils.timing import sync
 
 
 def block(tree):
-    return jax.block_until_ready(tree)
+    """Force execution. NOTE: not plain block_until_ready — some PJRT
+    plugins return from it before execution; utils.timing.sync fetches a
+    data-dependent scalar instead, which is a real fence."""
+    return sync(tree)
 
 
 class TpuDwarf(Dwarf):
@@ -55,9 +59,9 @@ class TpuDwarf(Dwarf):
 
     @staticmethod
     def timed(fn: Callable, *args):
-        """Run fn(*args), sync, return (result, seconds)."""
+        """Run fn(*args), fence, return (result, seconds)."""
         t0 = time.perf_counter()
-        res = block(fn(*args))
+        res = sync(fn(*args))
         return res, time.perf_counter() - t0
 
     @staticmethod
@@ -66,5 +70,5 @@ class TpuDwarf(Dwarf):
         mirroring lazy SYCL buffer movement inside the reference's timer."""
         t0 = time.perf_counter()
         dev = tuple(jax.device_put(a, device) for a in host_arrays)
-        res = block(fn(*dev))
+        res = sync(fn(*dev))
         return res, dev, time.perf_counter() - t0

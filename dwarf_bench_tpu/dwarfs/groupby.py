@@ -19,6 +19,7 @@ import numpy as np
 from ..common.datagen import derive_seed, make_random
 from ..common.options import DeviceType, GroupByRunOptions
 from ..common.result import GroupByAggResult, Result
+from .. import native
 from ..ops import groupby as gops
 from .base import TpuDwarf, block
 
@@ -36,7 +37,7 @@ class GroupBy(TpuDwarf):
         keys = make_random(
             buf_size, 0, groups_count - 1, seed=s(1), dtype=np.uint32
         )
-        expected = gops.groupby_oracle(keys, vals, groups_count)
+        expected = native.groupby_sum(keys, vals, groups_count)
         device = self.device(opts)
         fn = lambda k, v: gops.groupby_sum(k, v, groups_count)
 
@@ -78,7 +79,7 @@ class GroupByLocal(TpuDwarf):
         keys = make_random(
             buf_size, 0, groups_count - 1, seed=s(1), dtype=np.uint32
         )
-        expected = gops.groupby_oracle(keys, vals, groups_count)
+        expected = native.groupby_sum(keys, vals, groups_count)
         device = self.device(opts)
 
         for _ in range(opts.iterations):

@@ -19,6 +19,7 @@ import numpy as np
 from ..common.datagen import derive_seed, make_random, make_unique_random
 from ..common.options import DeviceType
 from ..common.result import HashJoinResult
+from .. import native
 from ..ops import bucket_hash, csr_join
 from ..ops import join as join_ops
 from ..ops.primitives import compact_multi
@@ -39,7 +40,7 @@ class Join(TpuDwarf):
         a_vals = make_unique_random(buf_size, seed=s(1))
         b_keys = make_unique_random(buf_size, seed=s(2))
         b_vals = make_unique_random(buf_size, seed=s(3))
-        expected = join_ops.seq_join_oracle(a_keys, a_vals, b_keys, b_vals)
+        expected = native.seq_join_sorted(a_keys, a_vals, b_keys, b_vals)
         device = self.device(opts)
         ht_size = 2 * buf_size  # join.cpp:28
         hseed = derive_seed(opts.seed, buf_size, 4) & 0xFFFFFFFF
@@ -63,7 +64,8 @@ class Join(TpuDwarf):
                 probe_time=t_end - t_build,
             )
             result.valid = np.array_equal(
-                join_ops.join_rows_sorted(res), expected
+                join_ops.join_rows_sorted(res).astype(np.uint64),
+                expected.astype(np.uint64),
             )
             meter.add_result({"buf_size": str(buf_size)}, result)
 
@@ -79,7 +81,7 @@ class NestedLoopJoin(TpuDwarf):
         a_vals = make_unique_random(buf_size, seed=s(1))
         b_keys = make_unique_random(buf_size, seed=s(2))
         b_vals = make_unique_random(buf_size, seed=s(3))
-        expected = join_ops.seq_join_oracle(a_keys, a_vals, b_keys, b_vals)
+        expected = native.seq_join_sorted(a_keys, a_vals, b_keys, b_vals)
         device = self.device(opts)
 
         for _ in range(opts.iterations):
@@ -92,7 +94,8 @@ class NestedLoopJoin(TpuDwarf):
                 host_time=host_time, kernel_time=kernel_time
             )
             result.valid = np.array_equal(
-                join_ops.join_rows_sorted(res), expected
+                join_ops.join_rows_sorted(res).astype(np.uint64),
+                expected.astype(np.uint64),
             )
             meter.add_result({"buf_size": str(buf_size)}, result)
 
@@ -110,7 +113,6 @@ class JoinOmnisci(TpuDwarf):
         unique_keys = len(np.unique(a_keys))
         ht_size = unique_keys * 2
         distinct_cap = unique_keys
-        expected = csr_join.oracle_id_sets(a_keys, b_keys)
         device = self.device(opts)
 
         for _ in range(opts.iterations):
@@ -125,7 +127,13 @@ class JoinOmnisci(TpuDwarf):
                 build_time=t_build - t0,
                 probe_time=t_end - t_build,
             )
-            result.valid = csr_join.join_id_sets(table, res) == expected
+            result.valid = native.validate_csr_join(
+                a_keys,
+                b_keys,
+                np.asarray(res.pos),
+                np.where(np.asarray(res.found), np.asarray(res.counts), 0),
+                np.asarray(table.id_buffer),
+            )
             meter.add_result({"buf_size": str(buf_size)}, result)
 
 
@@ -163,7 +171,7 @@ class SlabJoin(TpuDwarf):
         a_vals = make_unique_random(buf_size, seed=s(1))
         b_keys = make_unique_random(buf_size, seed=s(2))
         b_vals = make_unique_random(buf_size, seed=s(3))
-        expected = join_ops.seq_join_oracle(a_keys, a_vals, b_keys, b_vals)
+        expected = native.seq_join_sorted(a_keys, a_vals, b_keys, b_vals)
         device = self.device(opts)
         # fixed bucket count like the reference's BUCKETS_COUNT=1024
         # (slab_hash.hpp:24-26)
@@ -184,6 +192,7 @@ class SlabJoin(TpuDwarf):
                 probe_time=t_end - t_build,
             )
             result.valid = np.array_equal(
-                join_ops.join_rows_sorted(res), expected
+                join_ops.join_rows_sorted(res).astype(np.uint64),
+                expected.astype(np.uint64),
             )
             meter.add_result({"buf_size": str(buf_size)}, result)
