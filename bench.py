@@ -63,6 +63,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from dwarf_bench_tpu.ops import csr_join, groupby, scan, sort
+    from dwarf_bench_tpu.ops.scan_pallas import filter_pallas
 
     rng = np.random.default_rng(0)
     device = jax.devices()[0]
@@ -78,7 +79,10 @@ def main() -> None:
     x = jax.device_put(
         rng.integers(1, 10000, n, endpoint=True).astype(np.int32), device
     )
-    measured["scan"] = n / _time_min(scan.filter_two_pass, x)
+    scan_fn = (
+        filter_pallas if device.platform != "cpu" else scan.filter_two_pass
+    )
+    measured["scan"] = n / _time_min(scan_fn, x)
 
     # --- radix (full sort), 2^22 rows --------------------------------
     n = 1 << 22
@@ -106,7 +110,7 @@ def main() -> None:
 
     def join_fn(a, b):
         t = csr_join.build(a, d, 2 * d)
-        r = csr_join.probe(t, b)
+        r = csr_join.probe_sorted(t, b)
         return r.pos, r.counts
 
     measured["join"] = n / _time_min(join_fn, da, db)

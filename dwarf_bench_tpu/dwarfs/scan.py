@@ -42,13 +42,23 @@ class _ScanBase(TpuDwarf):
 
 
 class TwoPassScan(_ScanBase):
-    """Explicit two-pass tiled filter (kernel structure of scan/scan.cl:3-42:
-    per-tile counts → prefix over tiles → scatter)."""
-
-    filter_fn = staticmethod(filter_two_pass)
+    """Explicit tiled filter (kernel structure of scan/scan.cl:3-42:
+    per-tile counts → prefix over tiles → scatter). On TPU this runs the
+    Pallas streaming-compaction kernel (ops/scan_pallas.py); on CPU the
+    XLA two-pass formulation."""
 
     def __init__(self):
         super().__init__("TwoPassScan")
+
+    def _run(self, buf_size: int, meter) -> None:
+        device = self.device(meter.opts)
+        if device.platform != "cpu":
+            from ..ops.scan_pallas import filter_pallas
+
+            self.filter_fn = filter_pallas
+        else:
+            self.filter_fn = filter_two_pass
+        super()._run(buf_size, meter)
 
 
 class DPLScan(_ScanBase):

@@ -41,6 +41,7 @@ class CsrJoinTable(NamedTuple):
     counts: jnp.ndarray  # (distinct_cap,) rows per segment
     id_buffer: jnp.ndarray  # (n,) A row ids grouped by key
     num_distinct: jnp.ndarray  # int32 scalar
+    distinct_keys: jnp.ndarray  # (distinct_cap,) sorted asc, EMPTY padding
 
 
 class CsrProbeResult(NamedTuple):
@@ -85,7 +86,7 @@ def build(
     table = hashtable.build(
         distinct_keys, home, ht_size, payload=(seg_index,), valid=valid
     )
-    return CsrJoinTable(table, starts, counts, sid, num_distinct)
+    return CsrJoinTable(table, starts, counts, sid, num_distinct, distinct_keys)
 
 
 @jax.jit
@@ -98,6 +99,25 @@ def probe(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
     # padded queries (EMPTY sentinel) never match
     found = found & (b_keys.astype(jnp.uint32) != hashtable.EMPTY)
     seg = jnp.where(found, seg, 0).astype(jnp.int32)
+    pos = jnp.where(found, t.pos[seg], 0)
+    cnt = jnp.where(found, t.counts[seg], 0)
+    return CsrProbeResult(found, pos, cnt)
+
+
+@jax.jit
+def probe_sorted(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
+    """TPU-first probe: the distinct keys are already SORTED ascending
+    (EMPTY padding sorts last), so the key → segment lookup is a vectorized
+    binary search instead of a gather-serialized hash-chain walk. Observable
+    outputs are identical to ``probe`` (the oracle defines correctness, not
+    the lookup mechanism — SURVEY.md §7 hard-part 1)."""
+    q = b_keys.astype(jnp.uint32)
+    dk = t.distinct_keys
+    cap = dk.shape[0]
+    seg = jnp.searchsorted(dk, q).astype(jnp.int32)
+    safe = jnp.minimum(seg, cap - 1)
+    found = (dk[safe] == q) & (q != hashtable.EMPTY)
+    seg = jnp.where(found, safe, 0)
     pos = jnp.where(found, t.pos[seg], 0)
     cnt = jnp.where(found, t.counts[seg], 0)
     return CsrProbeResult(found, pos, cnt)

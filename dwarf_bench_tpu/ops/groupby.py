@@ -48,15 +48,14 @@ def groupby_sum_matmul(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
     kt = k.reshape(-1, _TILE)
     vt = v.reshape(-1, _TILE).astype(jnp.float32)
 
-    def tile_partial(args):
-        kt_i, vt_i = args
+    def tile_partial(kt_i, vt_i):
         onehot = (kt_i[:, None] == jnp.arange(num_groups)[None, :]).astype(
             jnp.float32
         )
         # (1, TILE) @ (TILE, G) on the MXU; exact in f32 (partials < 2^24)
         return (vt_i[None, :] @ onehot)[0].astype(jnp.int32)
 
-    partials = jax.lax.map(tile_partial, (kt, vt))  # (tiles, G) int32
+    partials = jax.vmap(tile_partial)(kt, vt)  # (tiles, G) int32
     return jnp.sum(partials, axis=0, dtype=jnp.int32).astype(jnp.uint32)
 
 

@@ -53,20 +53,23 @@ def timed(fn: Callable, *args, **kwargs):
     return res, time.perf_counter() - t0
 
 
-def time_amortized(fn: Callable, *args, k: int = 8, warmup: int = 1) -> float:
-    """Per-execution seconds via the queue-k pattern (see module docstring).
-    ``fn(*args)`` must be jitted and shape-stable."""
-    for _ in range(max(warmup, 1)):
-        sync(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    sync(fn(*args))
-    t1 = time.perf_counter() - t0
+def _queue_k(fn, args, k) -> float:
     t0 = time.perf_counter()
     out = None
     for _ in range(k):
         out = fn(*args)
     sync(out)
-    tk = time.perf_counter() - t0
-    if k <= 1:
-        return tk
-    return max((tk - t1) / (k - 1), 1e-9)
+    return time.perf_counter() - t0
+
+
+def time_amortized(fn: Callable, *args, k: int = 8, warmup: int = 1) -> float:
+    """Per-execution seconds via the queue-k pattern (see module docstring):
+    the slope between two queue depths cancels dispatch and the sync
+    roundtrip even for kernels far below the roundtrip latency.
+    ``fn(*args)`` must be jitted and shape-stable."""
+    for _ in range(max(warmup, 1)):
+        sync(fn(*args))  # compile + warm
+    k1, k2 = k, 5 * k
+    t1 = min(_queue_k(fn, args, k1) for _ in range(2))
+    t2 = min(_queue_k(fn, args, k2) for _ in range(2))
+    return max((t2 - t1) / (k2 - k1), 1e-9)
