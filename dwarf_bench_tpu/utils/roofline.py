@@ -1,0 +1,93 @@
+"""Per-operator roofline accounting (BASELINE.json: rows/s per chip and
+% of memory-bandwidth roofline per operator).
+
+Two models per operator:
+  * ``bytes_per_row`` — the minimum HBM traffic an ideal implementation
+    must move (the classic bandwidth roofline).
+  * ``achievable`` notes — on TPU some operators are not bandwidth-bound by
+    construction (no scatter/atomics: histogram and compaction pay a
+    compute term); the module reports both the BW roofline and the
+    measured fraction so regressions are visible either way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+# Minimum bytes of HBM traffic per input row (uint32 columns).
+BYTES_PER_ROW: Dict[str, float] = {
+    # read the column once; write ≈ selectivity · 4B (≈0 at x<5 over
+    # [1,10000], 2B at selectivity 0.5 — use the read-dominated bound)
+    "scan": 4.0,
+    # 4 LSD radix passes over 32-bit keys: 4 × (read+write) × 4B
+    "radix": 32.0,
+    # read key+val once; dense output negligible
+    "groupby": 8.0,
+    # build: sort of (key,id) ≈ 4 passes × 8B r+w ≈ 64B; probe: read 4B +
+    # table traffic ≈ 4B
+    "join": 72.0,
+    # read once, write scalar
+    "reduce": 4.0,
+}
+
+HBM_BW: Dict[str, float] = {  # bytes/s per chip
+    "TPU v5 lite": 8.19e11,  # v5e: 819 GB/s
+    "TPU v5": 1.2e12,
+    "TPU v4": 1.2e12,
+    "TPU v6 lite": 1.64e12,  # trillium
+}
+
+DEFAULT_CPU_BW = 5e10
+
+
+def device_bandwidth(device=None) -> float:
+    import jax
+
+    d = device if device is not None else jax.devices()[0]
+    kind = str(getattr(d, "device_kind", ""))
+    for k, bw in HBM_BW.items():
+        if k.lower() in kind.lower():
+            return bw
+    return DEFAULT_CPU_BW if d.platform == "cpu" else HBM_BW["TPU v5 lite"]
+
+
+@dataclass
+class OpReport:
+    op: str
+    rows: int
+    seconds: float
+    rows_per_s: float
+    bytes_per_row: float
+    bw_roofline_rows_per_s: float
+    roofline_frac: float
+
+    def as_dict(self) -> dict:
+        return {
+            "op": self.op,
+            "rows": self.rows,
+            "seconds": self.seconds,
+            "rows_per_s": round(self.rows_per_s),
+            "bw_roofline_rows_per_s": round(self.bw_roofline_rows_per_s),
+            "roofline_frac": round(self.roofline_frac, 4),
+        }
+
+
+def report(op: str, rows: int, seconds: float,
+           device=None, bytes_per_row: Optional[float] = None) -> OpReport:
+    bpr = bytes_per_row if bytes_per_row is not None else BYTES_PER_ROW[op]
+    bw = device_bandwidth(device)
+    rps = rows / seconds if seconds > 0 else float("inf")
+    sol = bw / bpr
+    return OpReport(op, rows, seconds, rps, bpr, sol, rps / sol)
+
+
+def scaling_efficiency(rows_per_s_by_n: Dict[int, float]) -> Dict[int, float]:
+    """rows/s scaling efficiency relative to the smallest mesh
+    (BASELINE.json: ≥80% at 1 chip → N)."""
+    base_n = min(rows_per_s_by_n)
+    base = rows_per_s_by_n[base_n]
+    return {
+        n: (v / base) * (base_n / n)
+        for n, v in sorted(rows_per_s_by_n.items())
+    }

@@ -123,3 +123,40 @@ class TestShuffle:
             chip_keys = rk[chip][rk[chip] != np.uint32(EMPTY)]
             expect = np.sort(keys[dest == chip])
             assert np.array_equal(np.sort(chip_keys), expect)
+
+
+class TestDistFilter:
+    def test_matches_local(self, mesh, rng):
+        from dwarf_bench_tpu.parallel import dist_filter
+
+        n = 8 * 2048
+        x = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+        cap = n // 8
+        fn = dist_filter(mesh, 5000, cap)
+        dx = shard_rows(mesh, x)
+        outs, counts, offsets, total = fn(dx)
+        outs, counts, offsets = map(np.asarray, (outs, counts, offsets))
+        exp_total = int((x < 5000).sum())
+        assert int(np.asarray(total).ravel()[0]) == exp_total
+        # concatenating per-chip prefixes in offset order reproduces copy_if
+        got = np.concatenate(
+            [outs[c][: counts[c]] for c in range(8)]
+        )
+        assert np.array_equal(got, x[x < 5000])
+        assert np.array_equal(offsets, np.cumsum(counts) - counts)
+
+
+class TestDistSort:
+    def test_globally_sorted(self, mesh, rng):
+        from dwarf_bench_tpu.parallel import dist_sort
+
+        n = 8 * 2048
+        x = rng.integers(1, 100000, n).astype(np.uint32)
+        cap = (n // 8) * 2  # slack for partition imbalance
+        fn = dist_sort(mesh, cap)
+        dx = shard_rows(mesh, x)
+        out, valid, overflow = fn(dx)
+        out, valid = np.asarray(out), np.asarray(valid)
+        assert int(np.sum(np.asarray(overflow))) == 0
+        got = np.concatenate([out[c][: valid[c]] for c in range(8)])
+        assert np.array_equal(got, np.sort(x))
