@@ -70,6 +70,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="Number of executors for GroupByLocal.",
     )
     p.add_argument(
+        "--extended_report",
+        action="store_true",
+        help="Add rows_per_s to the CSV (extension; default schema matches "
+        "the reference byte-for-byte).",
+    )
+    p.add_argument(
+        "--profile_dir",
+        type=str,
+        default="",
+        help="Write a jax.profiler trace of each run to this directory.",
+    )
+    p.add_argument(
         "--seed",
         type=int,
         default=0,
@@ -104,6 +116,8 @@ def main(argv=None) -> int:
         iterations=args.iterations,
         report_path=args.report_path,
         seed=args.seed,
+        extended_report=args.extended_report,
+        profile_dir=args.profile_dir,
     )
     if is_groupby(args.dwarf):
         opts = GroupByRunOptions.from_options(

@@ -40,7 +40,10 @@ class Dwarf(abc.ABC):
                 print(res.result, end="")
         else:
             self._results.set_report_header(self.reporting_header)
-            self._results.write_csv(opts.report_path)
+            self._results.write_csv(
+                opts.report_path,
+                extended=getattr(opts, "extended_report", False),
+            )
 
     def meter(self) -> Meter:
         return self._meter

@@ -59,6 +59,11 @@ class RunOptions:
     # common/common.hpp:31-40). Exact row parity across runs/hosts requires
     # determinism, so every generator here derives from this seed.
     seed: int = 0
+    # Extensions beyond the reference CSV schema (SURVEY.md §5.5): opt-in so
+    # the default report stays byte-compatible.
+    extended_report: bool = False
+    # Write a jax.profiler trace to this directory (one trace per run call).
+    profile_dir: str = ""
 
 
 @dataclasses.dataclass

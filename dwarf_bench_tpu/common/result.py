@@ -129,17 +129,29 @@ class MeasureResults:
     def set_report_header(self, header: str) -> None:
         self._header = header
 
-    def write_csv(self, filename: str) -> None:
+    def write_csv(self, filename: str, extended: bool = False) -> None:
         """Append-mode CSV writer; header only on file creation
-        (reference: common/result.cpp:59-91)."""
+        (reference: common/result.cpp:59-91). ``extended`` adds a rows_per_s
+        column (SURVEY.md §5.5 extension; off by default for byte parity)."""
         exists = os.path.exists(filename)
+        ext_header = ",rows_per_s" if extended else ""
         with open(filename, "a") as of:
             if not exists:
-                of.write(f"device_type,buf_size_bytes,{self._header}\n")
+                of.write(
+                    f"device_type,buf_size_bytes,{self._header}{ext_header}\n"
+                )
             for res in self._results:
-                buf_size_bytes = int(res.params["buf_size"]) * _SIZEOF_INT
+                buf_size = int(res.params["buf_size"])
+                buf_size_bytes = buf_size * _SIZEOF_INT
                 timings = res.result.get_reported_timings_list()
                 row = ",".join(_fmt_ms(t) for t in timings)
+                if extended:
+                    rps = (
+                        buf_size / res.result.host_time
+                        if res.result.host_time > 0
+                        else 0.0
+                    )
+                    row += f",{rps:.0f}"
                 of.write(f"{res.params['device_type']},{buf_size_bytes},{row}\n")
 
     def clear(self) -> None:

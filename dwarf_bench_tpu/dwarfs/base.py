@@ -41,6 +41,12 @@ class TpuDwarf(Dwarf):
         self.meter().set_params({"device_type": to_string(opts.device_ty)})
 
     def run(self, opts: RunOptions) -> None:
+        profile_dir = getattr(opts, "profile_dir", "")
+        if profile_dir:
+            with jax.profiler.trace(profile_dir):
+                for size in opts.input_size:
+                    self._run(int(size), self.meter())
+            return
         for size in opts.input_size:
             self._run(int(size), self.meter())
 

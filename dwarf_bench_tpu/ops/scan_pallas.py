@@ -79,7 +79,7 @@ def filter_pallas(
     x: jnp.ndarray,
     threshold=DEFAULT_THRESHOLD,
     capacity: int | None = None,
-    tile: int = 8192,
+    tile: int = 2048,
     interpret: bool = False,
 ):
     """copy_if(x, x < threshold) → (out, count); out has garbage past count.

@@ -140,3 +140,17 @@ class TestDatagen:
     def test_binary(self):
         v = make_random_uniform_binary(1000, seed=1)
         assert set(np.unique(v)).issubset({0, 1})
+
+
+class TestExtendedCsv:
+    def test_rows_per_s_column(self, tmp_path):
+        path = str(tmp_path / "e.csv")
+        mr = MeasureResults("X")
+        mr.add_result(
+            {"device_type": "TPU", "buf_size": "1000"},
+            Result(host_time=0.001, kernel_time=0.0005),
+        )
+        mr.write_csv(path, extended=True)
+        lines = open(path).read().strip().split("\n")
+        assert lines[0].endswith(",rows_per_s")
+        assert lines[1].endswith(",1000000")  # 1000 rows / 1ms
