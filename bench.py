@@ -97,7 +97,7 @@ def main() -> None:
     v = jax.device_put(
         rng.integers(1, 10000, n, endpoint=True).astype(np.uint32), device
     )
-    gfn = lambda kk, vv: groupby.groupby_sum_matmul(kk, vv, G)
+    gfn = lambda kk, vv: groupby.groupby_sum_matmul_bf16(kk, vv, G)
     measured["groupby"] = n / _time_min(gfn, k, v)
 
     # --- csr join build+probe, 2^20 rows -----------------------------
@@ -110,7 +110,7 @@ def main() -> None:
 
     def join_fn(a, b):
         t = csr_join.build(a, d, 2 * d)
-        r = csr_join.probe_sorted(t, b)
+        r = csr_join.probe_merge(t, b)
         return r.pos, r.counts
 
     measured["join"] = n / _time_min(join_fn, da, db)

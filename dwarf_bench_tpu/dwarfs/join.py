@@ -120,7 +120,7 @@ class JoinOmnisci(TpuDwarf):
             da_k, db_k = self.put(device, a_keys, b_keys)
             table = block(csr_join.build(da_k, distinct_cap, ht_size))
             t_build = time.perf_counter()
-            res = block(csr_join.probe_sorted(table, db_k))
+            res = block(csr_join.probe_merge(table, db_k))
             t_end = time.perf_counter()
             result = HashJoinResult(
                 host_time=t_end - t0,

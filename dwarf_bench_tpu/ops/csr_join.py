@@ -70,16 +70,19 @@ def build(
     is_start = is_start & row_valid
     num_distinct = jnp.sum(is_start.astype(jnp.int32))
     row_idx = jnp.arange(n, dtype=jnp.int32)
-    # Segment start offsets; padding = n_eff so absent segments diff to 0.
-    starts, _ = compact(row_idx, is_start, capacity=distinct_cap, fill=0)
-    starts = jnp.where(
-        jnp.arange(distinct_cap) < num_distinct, starts, n_eff
+    # Compact segment starts + distinct keys with ONE stable partition sort
+    # (a 1M-index scatter is serialized on TPU; a sort is not).
+    _, starts_c, dk_c = jax.lax.sort(
+        ((~is_start).astype(jnp.int32), row_idx, sk),
+        num_keys=1,
+        is_stable=True,
     )
+    in_cap = jnp.arange(distinct_cap) < num_distinct
+    # Segment start offsets; padding = n_eff so absent segments diff to 0.
+    starts = jnp.where(in_cap, starts_c[:distinct_cap], n_eff)
     counts = jnp.concatenate([starts[1:], n_eff[None]]) - starts
     counts = jnp.maximum(counts, 0)
-    distinct_keys, _ = compact(
-        sk, is_start, capacity=distinct_cap, fill=hashtable.EMPTY
-    )
+    distinct_keys = jnp.where(in_cap, dk_c[:distinct_cap], hashtable.EMPTY)
     seg_index = jnp.arange(distinct_cap, dtype=jnp.int32)
     valid = jnp.arange(distinct_cap) < num_distinct
     home = simple_hash(distinct_keys, ht_size)
@@ -121,6 +124,52 @@ def probe_sorted(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
     pos = jnp.where(found, t.pos[seg], 0)
     cnt = jnp.where(found, t.counts[seg], 0)
     return CsrProbeResult(found, pos, cnt)
+
+
+@jax.jit
+def probe_merge(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
+    """Sort-merge probe: zero random gathers.
+
+    TPU 1D gathers are serialized, so even the binary-search probe pays
+    ~log(d) full-column gathers. This variant sorts [distinct_keys ‖
+    queries] together (distinct rows first among equals) and propagates each
+    run's (key, start) with monotone cumulative scans — both are
+    non-decreasing along the sorted order, so ``cummax`` carries them to the
+    following query rows; the NEXT segment's start arrives by a suffix
+    ``cummin``, giving counts as differences. A second sort restores query
+    order. Two sorts + three scans, all streaming ops.
+    """
+    q = b_keys.astype(jnp.uint32)
+    nb = q.shape[0]
+    cap = t.distinct_keys.shape[0]
+    big = jnp.int32(2**30)
+
+    keys_all = jnp.concatenate([t.distinct_keys, q])
+    # distinct rows sort before equal query rows (label 0 < 1); the EMPTY
+    # padding keys sort to the very end with start = n_eff, which feeds the
+    # suffix scan the correct "next start" for the last real segment
+    label = jnp.concatenate(
+        [jnp.zeros((cap,), jnp.int32), jnp.ones((nb,), jnp.int32)]
+    )
+    pos_col = jnp.concatenate([t.pos, jnp.zeros((nb,), jnp.int32)])
+    idx_col = jnp.concatenate(
+        [jnp.full((cap,), -1, jnp.int32), jnp.arange(nb, dtype=jnp.int32)]
+    )
+    sk, sl, sp, si = jax.lax.sort(
+        (keys_all, label, pos_col, idx_col), num_keys=2
+    )
+    isdk = sl == 0
+    carry_key = jax.lax.cummax(jnp.where(isdk, sk, 0))
+    carry_pos = jax.lax.cummax(jnp.where(isdk, sp, -1))
+    npos = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(isdk, sp, big))))
+    found = (~isdk) & (carry_key == sk) & (sk != hashtable.EMPTY)
+    pos = jnp.where(found, carry_pos, 0)
+    cnt = jnp.where(found, npos - carry_pos, 0)
+    # restore query order: distinct rows carry index -1 and sort first
+    _, f2, p2, c2 = jax.lax.sort(
+        (si, found.astype(jnp.int32), pos, cnt), num_keys=1
+    )
+    return CsrProbeResult(f2[cap:] == 1, p2[cap:], c2[cap:])
 
 
 def join_id_sets(t: CsrJoinTable, res: CsrProbeResult):

@@ -59,6 +59,41 @@ def groupby_sum_matmul(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
     return jnp.sum(partials, axis=0, dtype=jnp.int32).astype(jnp.uint32)
 
 
+_BF16_TILE = 8192  # exactness: 127 * 8192 < 2^24 (f32 accumulator)
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
+def groupby_sum_matmul_bf16(
+    keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int
+):
+    """bf16 one-hot matmuls at ~4× the f32 MXU rate, exact for values
+    < 2^14: split v = lo7 + hi7·2^7 (each ≤ 127, exact in bf16; products
+    ≤ 127 exact; f32 accumulation keeps partials < 2^24), two matmuls,
+    recombine in int32. The benchmark columns are uniform [1, 10000] so the
+    precondition holds; ``groupby_sum`` falls back to the f32 path
+    otherwise."""
+    n = keys.shape[0]
+    pad = (-n) % _BF16_TILE
+    k = jnp.pad(keys.astype(jnp.int32), (0, pad), constant_values=num_groups)
+    v = jnp.pad(vals.astype(jnp.int32), (0, pad))
+    kt = k.reshape(-1, _BF16_TILE)
+    lo = (v & 0x7F).astype(jnp.bfloat16).reshape(-1, _BF16_TILE)
+    hi = (v >> 7).astype(jnp.bfloat16).reshape(-1, _BF16_TILE)
+
+    def tile_partial(kt_i, lo_i, hi_i):
+        onehot = (kt_i[:, None] == jnp.arange(num_groups)[None, :]).astype(
+            jnp.bfloat16
+        )
+        s_lo = jnp.dot(lo_i[None, :], onehot,
+                       preferred_element_type=jnp.float32)[0]
+        s_hi = jnp.dot(hi_i[None, :], onehot,
+                       preferred_element_type=jnp.float32)[0]
+        return s_lo.astype(jnp.int32) + (s_hi.astype(jnp.int32) << 7)
+
+    partials = jax.vmap(tile_partial)(kt, lo, hi)
+    return jnp.sum(partials, axis=0, dtype=jnp.int32).astype(jnp.uint32)
+
+
 @partial(jax.jit, static_argnames=("num_groups",))
 def groupby_sum_sorted(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
     n = keys.shape[0]
@@ -96,9 +131,12 @@ def groupby_sum_scatter(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
     )
 
 
-def groupby_sum(keys, vals, num_groups: int):
-    """Dispatch: MXU one-hot path for small group counts, sort path beyond."""
+def groupby_sum(keys, vals, num_groups: int, vals_below_2p14: bool = False):
+    """Dispatch: MXU one-hot path for small group counts (bf16 planes when
+    the caller guarantees values < 2^14), sort path beyond."""
     if num_groups <= 4096:
+        if vals_below_2p14:
+            return groupby_sum_matmul_bf16(keys, vals, num_groups)
         return groupby_sum_matmul(keys, vals, num_groups)
     return groupby_sum_sorted(keys, vals, num_groups)
 

@@ -54,7 +54,7 @@ def dist_csr_join(mesh: Mesh, rows_per_chip: int, distinct_cap: int,
         table = csr_join.build(
             flat_ak, distinct_cap, ht_size, row_ids=flat_ai
         )
-        res = csr_join.probe_sorted(table, flat_bk)
+        res = csr_join.probe_merge(table, flat_bk)
         local_matches = jnp.sum(
             jnp.where(res.found, res.counts, 0).astype(jnp.int32)
         )
