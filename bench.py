@@ -4,119 +4,132 @@
 Runs the four headline dwarfs (BASELINE.json: Scan, Sort/Radix, GroupBy,
 Join/JoinOmnisci) on the default device (the TPU chip when present) at the
 reference's benchmark-scale sizes, measures device-compute rows/s
-(kernel-path timing: compiled, inputs resident, min over repeats — the
+(queue-k amortized timing with a real execution fence — the
 OpenCL-event-profiling analog), and reports the geometric mean.
+
+Remote compiles on the tunneled TPU cost minutes per component, so the run
+is budgeted: components execute in ascending compile-cost order and the
+remainder is skipped (and listed in the JSON) if ``BENCH_TIME_BUDGET_S``
+(default 3000 s) would be exceeded; the geomean then covers the measured
+components only.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is the self-measured target from BASELINE.json: 70% of the
-per-chip HBM-bandwidth roofline for each operator under a bytes-touched
-model. vs_baseline = geomean(measured) / geomean(target); ≥ 1.0 means every
-target is met on average.
+per-chip HBM-bandwidth roofline for each operator under the bytes-touched
+model in dwarf_bench_tpu/utils/roofline.py. vs_baseline =
+geomean(measured) / geomean(target over measured components).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-# Bytes-touched-per-row models (minimum traffic an ideal implementation
-# must move, uint32 columns):
-#   scan filter: read 4B, write ~0 (selectivity 4/10000)        → 4 B/row
-#   radix sort (4 LSD passes over 32-bit keys): 4×(r+w) 8B      → 32 B/row
-#   groupby dense (small G): read key+val                       → 8 B/row
-#   csr join: build sort (~4 passes over (k,id) 8B r+w) + probe → 72 B/row
-_BYTES_PER_ROW = {"scan": 4.0, "radix": 32.0, "groupby": 8.0, "join": 72.0}
-
-_HBM_BW = {  # bytes/s, per chip
-    "TPU v5 lite": 819e9,  # v5e
-    "TPU v4": 1.2e12,
-    "TPU v6 lite": 1.64e12,
-    "cpu": 50e9,  # nominal host value so CPU runs still produce a number
-}
-
-
-def _device_bw() -> float:
-    import jax
-
-    d = jax.devices()[0]
-    kind = getattr(d, "device_kind", "cpu")
-    for k, bw in _HBM_BW.items():
-        if k.lower() in str(kind).lower():
-            return bw
-    return _HBM_BW["cpu"] if d.platform == "cpu" else 819e9
-
-
-def _time_min(fn, *args, repeats=3):
-    """Per-execution seconds. queue-k amortized timing with a scalar-fetch
-    fence (block_until_ready is not a fence on the tunneled TPU plugin);
-    min over a few amortized estimates."""
+def _time_op(fn, *args, k=8):
     from dwarf_bench_tpu.utils.timing import time_amortized
 
-    return min(time_amortized(fn, *args, k=8) for _ in range(repeats))
+    return time_amortized(fn, *args, k=k)
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from dwarf_bench_tpu.ops import csr_join, groupby, scan, sort
     from dwarf_bench_tpu.ops.scan_pallas import filter_pallas
+    from dwarf_bench_tpu.utils.roofline import (
+        BYTES_PER_ROW,
+        device_bandwidth,
+    )
 
     rng = np.random.default_rng(0)
     device = jax.devices()[0]
-    bw = _device_bw()
-    target = {
-        op: 0.7 * bw / bpr for op, bpr in _BYTES_PER_ROW.items()
-    }  # rows/s at 70% roofline
+    on_accel = device.platform != "cpu"
+    bw = device_bandwidth(device)
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "3000"))
+    t_start = time.time()
 
     measured = {}
+    skipped = []
 
-    # --- scan filter (x < 5), 2^24 rows ------------------------------
-    n = 1 << 24
-    x = jax.device_put(
-        rng.integers(1, 10000, n, endpoint=True).astype(np.int32), device
-    )
-    scan_fn = (
-        filter_pallas if device.platform != "cpu" else scan.filter_two_pass
-    )
-    measured["scan"] = n / _time_min(scan_fn, x)
+    def remaining():
+        return budget - (time.time() - t_start)
 
-    # --- radix (full sort), 2^22 rows --------------------------------
-    n = 1 << 22
-    x = jax.device_put(
-        rng.integers(1, 10000, n, endpoint=True).astype(np.int32), device
-    )
-    measured["radix"] = n / _time_min(sort.sort_xla, x)
+    # ---- components, cheapest compile first --------------------------
 
-    # --- groupby sum, 2^20 rows × 64 groups --------------------------
-    n, G = 1 << 20, 64
-    k = jax.device_put(rng.integers(0, G, n).astype(np.uint32), device)
-    v = jax.device_put(
-        rng.integers(1, 10000, n, endpoint=True).astype(np.uint32), device
-    )
-    gfn = lambda kk, vv: groupby.groupby_sum_matmul_bf16(kk, vv, G)
-    measured["groupby"] = n / _time_min(gfn, k, v)
+    def run_radix():
+        n = 1 << 22
+        x = jax.device_put(
+            rng.integers(1, 10000, n, endpoint=True).astype(np.int32), device
+        )
+        return n / _time_op(jax.jit(sort.sort_xla), x)
 
-    # --- csr join build+probe, 2^20 rows -----------------------------
-    n = 1 << 20
-    A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
-    B = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
-    d = int(len(np.unique(A)))
-    da = jax.device_put(A, device)
-    db = jax.device_put(B, device)
+    def run_groupby():
+        n, G = 1 << 22, 64
+        k = jax.device_put(rng.integers(0, G, n).astype(np.uint32), device)
+        v = jax.device_put(
+            rng.integers(1, 10000, n, endpoint=True).astype(np.uint32),
+            device,
+        )
+        fn = jax.jit(
+            lambda kk, vv: groupby.groupby_sum_matmul_bf16(kk, vv, G)
+        )
+        return n / _time_op(fn, k, v)
 
-    def join_fn(a, b):
-        t = csr_join.build(a, d, 2 * d)
-        r = csr_join.probe_merge(t, b)
-        return r.pos, r.counts
+    def run_join():
+        n = 1 << 20
+        A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        d = int(len(np.unique(A)))
+        da = jax.device_put(A, device)
+        db = jax.device_put(B, device)
 
-    measured["join"] = n / _time_min(join_fn, da, db)
+        @jax.jit
+        def join_fn(a, b):
+            t = csr_join.build(a, d, 2 * d)
+            r = csr_join.probe_merge(t, b)
+            return r.pos, r.counts
 
-    geo = float(np.exp(np.mean([np.log(v) for v in measured.values()])))
-    geo_target = float(np.exp(np.mean([np.log(v) for v in target.values()])))
+        return n / _time_op(join_fn, da, db)
+
+    def run_scan():
+        n = 1 << 24
+        x = jax.device_put(
+            rng.integers(1, 10000, n, endpoint=True).astype(np.int32),
+            device,
+        )
+        fn = filter_pallas if on_accel else scan.filter_two_pass
+        return n / _time_op(jax.jit(fn), x)
+
+    # (name, runner, minimum seconds of budget to attempt it —
+    # remote-compile estimates on the accelerator; CPU compiles are fast)
+    components = [
+        ("radix", run_radix, 240 if on_accel else 10),
+        ("groupby", run_groupby, 240 if on_accel else 10),
+        ("join", run_join, 420 if on_accel else 20),
+        ("scan", run_scan, 420 if on_accel else 20),
+    ]
+    for name, runner, min_budget in components:
+        if remaining() < min_budget:
+            skipped.append(name)
+            continue
+        try:
+            measured[name] = runner()
+        except Exception as e:  # noqa: BLE001 — a dead component must not
+            skipped.append(f"{name}:{type(e).__name__}")  # kill the report
+
+    target = {op: 0.7 * bw / BYTES_PER_ROW[op] for op in measured}
+    if measured:
+        geo = float(np.exp(np.mean([np.log(v) for v in measured.values()])))
+        geo_target = float(
+            np.exp(np.mean([np.log(v) for v in target.values()]))
+        )
+        vs = geo / geo_target
+    else:
+        geo, vs = 0.0, 0.0
 
     print(
         json.dumps(
@@ -124,13 +137,13 @@ def main() -> None:
                 "metric": "query_ops_rows_per_s_geomean",
                 "value": geo,
                 "unit": "rows/s",
-                "vs_baseline": geo / geo_target,
+                "vs_baseline": vs,
                 "components_rows_per_s": {
                     k: round(v) for k, v in measured.items()
                 },
-                "targets_rows_per_s": {
-                    k: round(v) for k, v in target.items()
-                },
+                "targets_rows_per_s": {k: round(v) for k, v in target.items()},
+                "skipped": skipped,
+                "elapsed_s": round(time.time() - t_start, 1),
                 "device": str(device),
             }
         )

@@ -11,13 +11,15 @@ sequentially on the core, so both passes fuse into ONE streaming kernel:
        2^b (pltpu.roll along lanes) — log2(tile) select passes, no scatter,
        no sort; all 8 sublane rows compact simultaneously (verified against
        copy_if over random selectivities);
-    3. aligned streaming writes: HBM DMA offsets must be 128-aligned, so
-       each row's compacted data is merged with a ≤128-element carry
-       (residual tail) in VMEM, written with a static-size DMA at the
+    3. a pairwise tree of dynamic rolls merges the 8 row streams into one
+       block stream in registers;
+    4. aligned streaming write: HBM DMA offsets must be 128-aligned, so
+       the block stream is merged with a ≤128-element carry (residual
+       tail) in VMEM and written with ONE static-size DMA per block at the
        128-aligned running offset (SMEM scalars persist across the
-       sequential grid), and the new partial 128-lane chunk becomes the
-       next carry; the final grid step flushes the carry. Later writes
-       overwrite earlier garbage tails, so the output has a tile of slack.
+       sequential grid); the new partial 128-lane chunk becomes the next
+       carry and the final grid step flushes it. Later writes overwrite
+       earlier garbage tails, so the output has a block of slack.
 
 HBM traffic is read-once + write-compacted — the bandwidth-bound optimum —
 with all shuffling done in VMEM/registers.
@@ -97,7 +99,8 @@ def filter_pallas(
     nblocks = npad // block_elems
     thr = jnp.asarray(threshold, x2.dtype).reshape(1, 1)
 
-    width = tile + 128  # comb buffer: carry (≤128) + one row (tile)
+    block = _ROWS * tile
+    width = block + 128  # comb buffer: carry (≤128) + one whole block
 
     def kernel(thr_ref, x_ref, out_ref, count_ref, comb_ref, carry_ref,
                state_ref, sem):
@@ -116,41 +119,59 @@ def filter_pallas(
         m = mask.astype(jnp.int32)
         compacted, _ = _compact_rows(xt, mask, tile)
         sub = jax.lax.broadcasted_iota(jnp.int32, compacted.shape, 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
 
-        def row_body(r, state):
-            # HBM DMA offsets must be 128-aligned, so writes happen at the
-            # aligned offset with the partial tail carried in VMEM:
-            # comb = [carry (rem elems) | row data (cnt elems) | garbage]
-            off, rem = state
+        # extract the 8 per-row compacted streams + counts
+        rows = []
+        cnts = []
+        for r in range(_ROWS):
             is_r = sub == r
-            cnt = jnp.sum(jnp.where(is_r, m, 0))
-            row = jnp.sum(
-                jnp.where(is_r, compacted, 0), axis=0, keepdims=True
+            rows.append(
+                jnp.sum(jnp.where(is_r, compacted, 0), axis=0, keepdims=True)
             )
-            row_wide = jnp.pad(row, ((0, 0), (0, 128)))
-            rolled = pltpu.roll(row_wide, rem, 1)  # row starts at lane rem
-            carry_wide = jnp.pad(carry_ref[...], ((0, 0), (0, tile)))
-            comb_ref[...] = jnp.where(lane < rem, carry_wide, rolled)
-            dma = pltpu.make_async_copy(
-                comb_ref,
-                out_ref.at[:, pl.ds(pl.multiple_of(off, 128), width)],
-                sem,
-            )
-            dma.start()
-            dma.wait()
-            total = rem + cnt
-            adv = (total // 128) * 128
-            # new carry = lanes [adv, adv+128) of comb
-            back = pltpu.roll(comb_ref[...], width - adv, 1)
-            carry_ref[...] = back[:, :128]
-            return off + adv, total - adv
+            cnts.append(jnp.sum(jnp.where(is_r, m, 0)))
 
-        off, rem = jax.lax.fori_loop(
-            0, _ROWS, row_body, (state_ref[0], state_ref[1])
+        # pairwise tree merge: one dynamic roll per merge consolidates the
+        # whole block in registers, so only ONE HBM DMA per block remains
+        def merge(a, ca, b, cb):
+            w = a.shape[1]
+            aw = jnp.pad(a, ((0, 0), (0, w)))
+            bw = jnp.pad(b, ((0, 0), (0, w)))
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * w), 1)
+            merged = jnp.where(lane2 < ca, aw, pltpu.roll(bw, ca, 1))
+            return merged, ca + cb
+
+        while len(rows) > 1:
+            nxt_r, nxt_c = [], []
+            for p in range(0, len(rows), 2):
+                mr, mc = merge(rows[p], cnts[p], rows[p + 1], cnts[p + 1])
+                nxt_r.append(mr)
+                nxt_c.append(mc)
+            rows, cnts = nxt_r, nxt_c
+        blk, cnt = rows[0], cnts[0]  # (1, block), scalar
+
+        # HBM DMA offsets must be 128-aligned, so the write happens at the
+        # aligned offset with the partial tail carried in VMEM:
+        # comb = [carry (rem elems) | block data (cnt elems) | garbage]
+        off = state_ref[0]
+        rem = state_ref[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+        rolled = pltpu.roll(jnp.pad(blk, ((0, 0), (0, 128))), rem, 1)
+        carry_wide = jnp.pad(carry_ref[...], ((0, 0), (0, block)))
+        comb_ref[...] = jnp.where(lane < rem, carry_wide, rolled)
+        dma = pltpu.make_async_copy(
+            comb_ref,
+            out_ref.at[:, pl.ds(pl.multiple_of(off, 128), width)],
+            sem,
         )
-        state_ref[0] = off
-        state_ref[1] = rem
+        dma.start()
+        dma.wait()
+        total = rem + cnt
+        adv = (total // 128) * 128
+        # new carry = lanes [adv, adv+128) of comb
+        back = pltpu.roll(comb_ref[...], width - adv, 1)
+        carry_ref[...] = back[:, :128]
+        state_ref[0] = off + adv
+        state_ref[1] = total - adv
 
         @pl.when(i == nblocks - 1)
         def _():
@@ -178,11 +199,11 @@ def filter_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, npad + tile + 256), x2.dtype),
+            jax.ShapeDtypeStruct((1, npad + _ROWS * tile + 256), x2.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, tile + 128), x2.dtype),  # comb
+            pltpu.VMEM((1, _ROWS * tile + 128), x2.dtype),  # comb
             pltpu.VMEM((1, 128), x2.dtype),  # carry
             pltpu.SMEM((2,), jnp.int32),  # aligned offset, residual
             pltpu.SemaphoreType.DMA,

@@ -1,6 +1,6 @@
 from .mesh import ROW_AXIS, make_mesh, replicated, row_sharding, shard_rows
 from .dist_groupby import dist_groupby_dense, dist_groupby_shuffle
-from .dist_join import dist_csr_join
+from .dist_join import dist_csr_join, dist_csr_join_skew
 from .dist_scan import dist_filter
 from .dist_sort import dist_sort
 from .shuffle import partition_for_shuffle
@@ -14,6 +14,7 @@ __all__ = [
     "dist_groupby_dense",
     "dist_groupby_shuffle",
     "dist_csr_join",
+    "dist_csr_join_skew",
     "dist_filter",
     "dist_sort",
     "partition_for_shuffle",

@@ -75,3 +75,145 @@ def dist_csr_join(mesh: Mesh, rows_per_chip: int, distinct_cap: int,
             out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(), P(ROW_AXIS)),
         )
     )
+
+
+def dist_csr_join_skew(
+    mesh: Mesh,
+    rows_per_chip: int,
+    distinct_cap: int,
+    ht_size: int,
+    shuffle_capacity: int,
+    heavy_cap: int = 16,
+    candidates_per_chip: int = 8,
+    heavy_rows_cap: int | None = None,
+):
+    """Skew-aware distributed CSR join (BASELINE.json: hash-partition
+    shuffle with skew-aware repartitioning).
+
+    A hash shuffle sends every row of a key to one chip, so a heavy key
+    overflows that chip's fixed-capacity slot. This variant splits the work:
+
+      1. **Detect** heavy keys: each chip nominates its top local keys by
+         count (sort + segment counts — no atomics), candidates are
+         all-gathered, and exact global counts come from a psum; keys whose
+         global count exceeds half the shuffle capacity are "heavy". Every
+         chip derives the identical heavy list.
+      2. **Broadcast** the heavy keys' A-side rows (all-gather of the
+         compacted heavy rows with global ids) — every chip builds the same
+         small CSR table over them; heavy B rows then probe LOCALLY, with
+         no shuffle at all (the broadcast-join treatment of SharesSkew-style
+         skew handling).
+      3. **Shuffle** only the light tail through the fixed-capacity hash
+         all-to-all and join as usual.
+
+    Returns (light result counts, heavy result counts, global total,
+    shuffle overflow) — overflow stays 0 under heavy skew that would break
+    the plain hash shuffle.
+    """
+    n_chips = mesh.shape[ROW_AXIS]
+    if heavy_rows_cap is None:
+        heavy_rows_cap = rows_per_chip
+    cand_total = n_chips * candidates_per_chip
+
+    def _top_local_keys(keys):
+        """Top ``candidates_per_chip`` local keys by count (sort-based)."""
+        sk = jax.lax.sort(keys.astype(jnp.uint32))
+        is_start = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        n = sk.shape[0]
+        counts = jnp.zeros((n,), jnp.int32).at[seg].add(1)
+        first_val = jnp.zeros((n,), jnp.uint32).at[
+            jnp.where(is_start, seg, n)
+        ].set(sk, mode="drop")
+        # order segments by count descending
+        _, top_keys = jax.lax.sort((-counts, first_val), num_keys=1)
+        return top_keys[:candidates_per_chip]
+
+    def local(a_keys, b_keys):
+        my = jax.lax.axis_index(ROW_AXIS).astype(jnp.uint32)
+        base = my * jnp.uint32(rows_per_chip)
+        a_ids = base + jnp.arange(a_keys.shape[0], dtype=jnp.uint32)
+        ak = a_keys.astype(jnp.uint32)
+        bk = b_keys.astype(jnp.uint32)
+
+        # 1. heavy-key detection (identical on every chip)
+        cands = jax.lax.all_gather(_top_local_keys(ak), ROW_AXIS).reshape(-1)
+        # exact global counts per candidate (C is small → broadcast compare)
+        local_counts = jnp.sum(
+            (ak[None, :] == cands[:, None]).astype(jnp.int32), axis=1
+        )
+        global_counts = jax.lax.psum(local_counts, ROW_AXIS)
+        threshold = jnp.int32(max(shuffle_capacity // 2, 1))
+        is_heavy_cand = global_counts > threshold
+        # dedupe + keep the heaviest ``heavy_cap`` (sort by count desc)
+        srt_k, srt_c = jax.lax.sort(
+            (cands, jnp.where(is_heavy_cand, global_counts, 0)), num_keys=1
+        )
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), srt_k[1:] != srt_k[:-1]]
+        )
+        eff_c = jnp.where(first, srt_c, 0)
+        _, heavy_sorted = jax.lax.sort((-eff_c, srt_k), num_keys=1)
+        pad_fill = jnp.full((heavy_cap,), EMPTY, jnp.uint32)
+        heavy_keys = jnp.where(
+            jnp.sort(-eff_c)[:heavy_cap] < 0, heavy_sorted[:heavy_cap],
+            pad_fill,
+        )
+
+        def is_heavy(keys):
+            return jnp.any(keys[None, :] == heavy_keys[:, None], axis=0)
+
+        heavy_a = is_heavy(ak)
+        heavy_b = is_heavy(bk)
+
+        # 2. broadcast-join the heavy keys
+        from ..ops.primitives import compact_multi
+
+        (hk, hid), _ = compact_multi(
+            (ak, a_ids), heavy_a, capacity=heavy_rows_cap, fill=EMPTY
+        )
+        all_hk = jax.lax.all_gather(hk, ROW_AXIS).reshape(-1)
+        all_hid = jax.lax.all_gather(hid, ROW_AXIS).reshape(-1)
+        heavy_table = csr_join.build(
+            all_hk, heavy_cap * 4, 2 * heavy_cap * 4 + 2, row_ids=all_hid
+        )
+        b_heavy_keys = jnp.where(heavy_b, bk, EMPTY)
+        heavy_res = csr_join.probe_merge(heavy_table, b_heavy_keys)
+        heavy_matches = jnp.sum(
+            jnp.where(heavy_res.found, heavy_res.counts, 0).astype(jnp.int32)
+        )
+
+        # 3. hash-shuffle the light tail
+        rak, rai, _, ov_a = partition_for_shuffle(
+            ak, a_ids, n_chips, shuffle_capacity, ROW_AXIS, drop=heavy_a
+        )
+        b_ids = base + jnp.arange(bk.shape[0], dtype=jnp.uint32)
+        rbk, rbi, _, ov_b = partition_for_shuffle(
+            bk, b_ids, n_chips, shuffle_capacity, ROW_AXIS, drop=heavy_b
+        )
+        table = csr_join.build(
+            rak.reshape(-1), distinct_cap, ht_size,
+            row_ids=rai.reshape(-1),
+        )
+        light_res = csr_join.probe_merge(table, rbk.reshape(-1))
+        light_matches = jnp.sum(
+            jnp.where(light_res.found, light_res.counts, 0).astype(jnp.int32)
+        )
+        total = jax.lax.psum(light_matches + heavy_matches, ROW_AXIS)
+        light_counts = jnp.where(light_res.found, light_res.counts, 0)
+        heavy_counts = jnp.where(heavy_res.found, heavy_res.counts, 0)
+        return (
+            light_counts[None],
+            heavy_counts[None],
+            total,
+            (ov_a + ov_b).reshape(1),
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS), P(ROW_AXIS)),
+            out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(), P(ROW_AXIS)),
+        )
+    )

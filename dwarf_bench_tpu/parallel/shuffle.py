@@ -40,6 +40,7 @@ def partition_for_shuffle(
     n_chips: int,
     capacity: int,
     axis_name: str,
+    drop: jnp.ndarray | None = None,
 ):
     """Inside shard_map: bucket local rows by destination chip and exchange.
 
@@ -51,6 +52,11 @@ def partition_for_shuffle(
     n = keys.shape[0]
     k = keys.astype(jnp.uint32)
     dest = (murmur3_32(k, SHUFFLE_SEED) % jnp.uint32(n_chips)).astype(jnp.int32)
+    if drop is not None:
+        # dropped rows route to a virtual destination past the last chip and
+        # never enter any send slot (the skew-aware join excludes heavy keys
+        # from the hash shuffle this way)
+        dest = jnp.where(drop, n_chips, dest)
 
     # Stable sort rows by destination, then slice per-destination ranges
     # into the fixed-capacity send buffer via rank-within-destination.

@@ -160,3 +160,52 @@ class TestDistSort:
         assert int(np.sum(np.asarray(overflow))) == 0
         got = np.concatenate([out[c][: valid[c]] for c in range(8)])
         assert np.array_equal(got, np.sort(x))
+
+
+class TestSkewJoin:
+    def _expected(self, A, B):
+        from collections import Counter
+
+        ca, cb = Counter(A.tolist()), Counter(B.tolist())
+        return sum(ca[k] * cb.get(k, 0) for k in ca)
+
+    def test_heavy_skew_handled(self, mesh, rng):
+        """50% of rows share one key: the plain hash shuffle overflows its
+        fixed-capacity slots; the skew-aware variant broadcasts the heavy
+        key's build rows and still matches the oracle exactly."""
+        from dwarf_bench_tpu.parallel import dist_csr_join, dist_csr_join_skew
+
+        per_chip = 1024
+        n = N_DEV * per_chip
+        A = rng.integers(1, 2000, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 2000, n, endpoint=True).astype(np.uint32)
+        A[rng.random(n) < 0.5] = 777
+        B[rng.random(n) < 0.5] = 777
+        cap = (per_chip // N_DEV) * 4
+        da, db = shard_rows(mesh, A, B)
+
+        plain = dist_csr_join(mesh, per_chip, N_DEV * cap, 2 * N_DEV * cap, cap)
+        _, _, _, ov = plain(da, db)
+        assert int(np.sum(np.asarray(ov))) > 0  # hash shuffle breaks
+
+        skew = dist_csr_join_skew(mesh, per_chip, N_DEV * cap,
+                                  2 * N_DEV * cap, cap)
+        _, _, total, ov2 = skew(da, db)
+        assert int(np.sum(np.asarray(ov2))) == 0
+        assert int(np.asarray(total).ravel()[0]) == self._expected(A, B)
+
+    def test_uniform_data_no_heavy_keys(self, mesh, rng):
+        """Without skew the heavy list is empty and results still match."""
+        from dwarf_bench_tpu.parallel import dist_csr_join_skew
+
+        per_chip = 512
+        n = N_DEV * per_chip
+        A = rng.integers(1, 50000, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 50000, n, endpoint=True).astype(np.uint32)
+        cap = (per_chip // N_DEV) * 4
+        da, db = shard_rows(mesh, A, B)
+        skew = dist_csr_join_skew(mesh, per_chip, N_DEV * cap,
+                                  2 * N_DEV * cap, cap)
+        _, _, total, ov = skew(da, db)
+        assert int(np.sum(np.asarray(ov))) == 0
+        assert int(np.asarray(total).ravel()[0]) == self._expected(A, B)
