@@ -110,7 +110,7 @@ def main() -> None:
         ("radix", run_radix, 240 if on_accel else 10),
         ("groupby", run_groupby, 240 if on_accel else 10),
         ("join", run_join, 420 if on_accel else 20),
-        ("scan", run_scan, 420 if on_accel else 20),
+        ("scan", run_scan, 700 if on_accel else 20),
     ]
     for name, runner, min_budget in components:
         if remaining() < min_budget:

@@ -41,6 +41,8 @@ class TpuDwarf(Dwarf):
         self.meter().set_params({"device_type": to_string(opts.device_ty)})
 
     def run(self, opts: RunOptions) -> None:
+        # reference dwarfs announce the device per run (e.g. join.cpp:24-25)
+        print(f"Selected device: {self.device(opts)}")
         profile_dir = getattr(opts, "profile_dir", "")
         if profile_dir:
             with jax.profiler.trace(profile_dir):

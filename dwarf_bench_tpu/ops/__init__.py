@@ -9,6 +9,7 @@ from . import (
     primitives,
     reduce,
     scan,
+    scan_pallas,
     sort,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "primitives",
     "reduce",
     "scan",
+    "scan_pallas",
     "sort",
 ]

@@ -117,3 +117,18 @@ def join_rows_sorted(res: JoinResult) -> np.ndarray:
         axis=1,
     )
     return rows[np.lexsort(rows.T[::-1])] if c else rows
+
+
+def columns_to_rows(keys, *value_cols):
+    """Column-store → row-store (join_helpers.hpp to_row_store analog):
+    list of (key, v1, v2, …) tuples."""
+    cols = [np.asarray(keys)] + [np.asarray(c) for c in value_cols]
+    return list(zip(*[c.tolist() for c in cols]))
+
+
+def rows_to_columns(rows, n_cols: int):
+    """Row-store → column-store (join_helpers.hpp to_col_store analog)."""
+    if not rows:
+        return tuple(np.empty(0, np.uint32) for _ in range(n_cols))
+    arr = np.asarray(rows, dtype=np.uint64)
+    return tuple(arr[:, c].astype(np.uint32) for c in range(n_cols))

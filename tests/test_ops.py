@@ -129,3 +129,34 @@ class TestCsrJoin:
         for j in range(d):
             seg_ids = idbuf[pos[j]: pos[j] + counts[j]]
             assert len(set(A[seg_ids])) == 1
+
+
+class TestJoinHelpers:
+    """Host-side helpers — the analog of tests/join_tests.cpp (seq_join,
+    equality, row/col-store conversions)."""
+
+    def test_row_col_roundtrip(self, rng):
+        k = rng.integers(1, 100, 50).astype(np.uint32)
+        v1 = rng.integers(1, 100, 50).astype(np.uint32)
+        v2 = rng.integers(1, 100, 50).astype(np.uint32)
+        rows = join.columns_to_rows(k, v1, v2)
+        rk, rv1, rv2 = join.rows_to_columns(rows, 3)
+        assert np.array_equal(rk, k)
+        assert np.array_equal(rv1, v1)
+        assert np.array_equal(rv2, v2)
+
+    def test_seq_join_counts(self):
+        ak = np.array([1, 2, 2, 3], np.uint32)
+        av = np.array([10, 20, 21, 30], np.uint32)
+        bk = np.array([2, 2, 4], np.uint32)
+        bv = np.array([200, 201, 400], np.uint32)
+        out = join.seq_join_oracle(ak, av, bk, bv)
+        assert out.shape == (4, 3)  # 2 a-rows × 2 b-rows for key 2
+        assert set(out[:, 0].tolist()) == {2}
+
+    def test_empty_join(self):
+        out = join.seq_join_oracle(
+            np.array([1], np.uint32), np.array([1], np.uint32),
+            np.array([9], np.uint32), np.array([9], np.uint32),
+        )
+        assert out.shape[0] == 0
