@@ -22,7 +22,6 @@ from dataclasses import dataclass
 from typing import List
 
 from .common.options import DeviceType, GroupByRunOptions, RunOptions
-from .common.registry import Registry
 from .dwarfs import populate_registry
 
 

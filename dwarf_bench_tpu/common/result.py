@@ -16,8 +16,8 @@ written only when the file does not yet exist (common/result.cpp:59-66).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict, List
 
 DwarfParams = Dict[str, str]
 

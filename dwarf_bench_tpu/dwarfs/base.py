@@ -15,7 +15,7 @@ TwoPassScan.
 from __future__ import annotations
 
 import time
-from typing import Callable, Iterable, Sequence
+from typing import Callable
 
 import jax
 

@@ -32,7 +32,7 @@ import numpy as np
 
 from . import hashtable
 from .hashing import simple_hash
-from .primitives import compact, compact_multi, sort_by_key
+from .primitives import sort_by_key
 
 
 class CsrJoinTable(NamedTuple):

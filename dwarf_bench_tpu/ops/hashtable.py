@@ -33,7 +33,6 @@ key/val/bitmask buffer triple.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

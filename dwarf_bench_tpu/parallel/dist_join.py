@@ -12,8 +12,6 @@ total (psum) — the aggregate the scaling benchmark measures.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -113,20 +111,29 @@ def dist_csr_join_skew(
     n_chips = mesh.shape[ROW_AXIS]
     if heavy_rows_cap is None:
         heavy_rows_cap = rows_per_chip
-    cand_total = n_chips * candidates_per_chip
 
     def _top_local_keys(keys):
         """Top ``candidates_per_chip`` local keys by count (sort-based)."""
         sk = jax.lax.sort(keys.astype(jnp.uint32))
-        is_start = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-        seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
         n = sk.shape[0]
-        counts = jnp.zeros((n,), jnp.int32).at[seg].add(1)
-        first_val = jnp.zeros((n,), jnp.uint32).at[
-            jnp.where(is_start, seg, n)
-        ].set(sk, mode="drop")
+        is_start = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        # segment sizes scatter-free: start offsets by partition sort,
+        # counts = diff of consecutive starts (same pattern as csr build)
+        row_idx = jnp.arange(n, dtype=jnp.int32)
+        _, starts_c, keys_c = jax.lax.sort(
+            ((~is_start).astype(jnp.int32), row_idx, sk),
+            num_keys=1, is_stable=True,
+        )
+        nseg = jnp.sum(is_start.astype(jnp.int32))
+        in_seg = jnp.arange(n) < nseg
+        starts = jnp.where(in_seg, starts_c, n)
+        counts = jnp.concatenate([starts[1:], jnp.array([n])]) - starts
+        counts = jnp.where(in_seg, jnp.maximum(counts, 0), 0)
         # order segments by count descending
-        _, top_keys = jax.lax.sort((-counts, first_val), num_keys=1)
+        _, top_keys = jax.lax.sort(
+            (-counts, jnp.where(in_seg, keys_c, 0).astype(jnp.uint32)),
+            num_keys=1,
+        )
         return top_keys[:candidates_per_chip]
 
     def local(a_keys, b_keys):

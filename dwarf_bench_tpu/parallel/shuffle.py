@@ -22,8 +22,6 @@ reported in the returned counts so correctness is checkable.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
