@@ -101,24 +101,18 @@ def groupby_sum_sorted(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
         (keys.astype(jnp.int32), vals.astype(jnp.int32)), num_keys=1
     )
     cs = jnp.cumsum(sv, dtype=jnp.int32)  # wraps mod 2^32 like uint32
+    # segment sum = cumsum at segment end − cumsum before segment start;
+    # both scatter at UNIQUE key indices (one start/end per group)
     is_end = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
-    # segment sum = cumsum at segment end − cumsum at previous segment end
-    ends = jnp.where(is_end, cs, 0)
-    prev = jnp.where(is_end, jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                              cs[:-1]]), 0)
-    # prev above is cumsum just before this row; we need cumsum at the
-    # previous segment's end, i.e. cumsum before this segment's first row.
     is_start = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-    seg_base = jnp.where(
-        is_start, jnp.concatenate([jnp.zeros((1,), jnp.int32), cs[:-1]]), 0
-    )
-    # propagate each segment's base to its end row via a max-scan on
-    # (row index of start, base) — simpler: scatter base by key, then diff.
+    seg_base = jnp.concatenate([jnp.zeros((1,), jnp.int32), cs[:-1]])
     out_end = jnp.zeros((num_groups + 1,), jnp.int32)
     out_base = jnp.zeros((num_groups + 1,), jnp.int32)
-    out_end = out_end.at[jnp.where(is_end, sk, num_groups)].set(ends, mode="drop")
+    out_end = out_end.at[jnp.where(is_end, sk, num_groups)].set(
+        jnp.where(is_end, cs, 0), mode="drop"
+    )
     out_base = out_base.at[jnp.where(is_start, sk, num_groups)].set(
-        seg_base, mode="drop"
+        jnp.where(is_start, seg_base, 0), mode="drop"
     )
     return (out_end[:num_groups] - out_base[:num_groups]).astype(jnp.uint32)
 

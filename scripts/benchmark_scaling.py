@@ -36,7 +36,9 @@ def main(argv=None) -> int:
 
     from dwarf_bench_tpu.parallel import (
         dist_csr_join,
+        dist_filter,
         dist_groupby_dense,
+        dist_sort,
         make_mesh,
         shard_rows,
     )
@@ -47,7 +49,7 @@ def main(argv=None) -> int:
     mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
     rng = np.random.default_rng(args.seed)
 
-    results = {"groupby": {}, "join": {}}
+    results = {"groupby": {}, "join": {}, "filter": {}, "sort": {}}
     for n_chips in mesh_sizes:
         mesh = make_mesh(n_chips)
         n = n_chips * args.rows_per_chip
@@ -78,6 +80,26 @@ def main(argv=None) -> int:
         rps = n / t
         results["join"][n_chips] = rps
         print(json.dumps({"op": "dist_csr_join", "chips": n_chips,
+                          "rows": n, "rows_per_s": round(rps)}))
+
+        x = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+        ffn = dist_filter(mesh, 5000, args.rows_per_chip)
+        dx = shard_rows(mesh, x)
+        t = time_amortized(ffn, dx, k=4)
+        rps = n / t
+        results["filter"][n_chips] = rps
+        print(json.dumps({"op": "dist_filter", "chips": n_chips,
+                          "rows": n, "rows_per_s": round(rps)}))
+
+        xs = rng.integers(1, 1 << 30, n).astype(np.uint32)
+        sfn = dist_sort(mesh, args.rows_per_chip * 2)
+        dxs = shard_rows(mesh, xs)
+        _, _, ov_s = sfn(dxs)
+        assert int(np.sum(np.asarray(ov_s))) == 0, "sort partition overflow"
+        t = time_amortized(sfn, dxs, k=4)
+        rps = n / t
+        results["sort"][n_chips] = rps
+        print(json.dumps({"op": "dist_sort", "chips": n_chips,
                           "rows": n, "rows_per_s": round(rps)}))
 
     for op, by_n in results.items():
