@@ -144,32 +144,33 @@ def probe_merge(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
     cap = t.distinct_keys.shape[0]
     big = jnp.int32(2**30)
 
-    keys_all = jnp.concatenate([t.distinct_keys, q])
-    # distinct rows sort before equal query rows (label 0 < 1); the EMPTY
+    # distinct rows precede the queries in the input, so a STABLE sort keeps
+    # them first among equal keys — no label column needed; row identity
+    # (distinct: -1, query: original index) rides in idx_col. The EMPTY
     # padding keys sort to the very end with start = n_eff, which feeds the
-    # suffix scan the correct "next start" for the last real segment
-    label = jnp.concatenate(
-        [jnp.zeros((cap,), jnp.int32), jnp.ones((nb,), jnp.int32)]
-    )
+    # suffix scan the correct "next start" for the last real segment.
+    keys_all = jnp.concatenate([t.distinct_keys, q])
     pos_col = jnp.concatenate([t.pos, jnp.zeros((nb,), jnp.int32)])
     idx_col = jnp.concatenate(
         [jnp.full((cap,), -1, jnp.int32), jnp.arange(nb, dtype=jnp.int32)]
     )
-    sk, sl, sp, si = jax.lax.sort(
-        (keys_all, label, pos_col, idx_col), num_keys=2
+    sk, sp, si = jax.lax.sort(
+        (keys_all, pos_col, idx_col), num_keys=1, is_stable=True
     )
-    isdk = sl == 0
+    isdk = si == -1
     carry_key = jax.lax.cummax(jnp.where(isdk, sk, 0))
     carry_pos = jax.lax.cummax(jnp.where(isdk, sp, -1))
     npos = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(isdk, sp, big))))
     found = (~isdk) & (carry_key == sk) & (sk != hashtable.EMPTY)
     pos = jnp.where(found, carry_pos, 0)
+    # pack (cnt, found) into one column for the unsort
     cnt = jnp.where(found, npos - carry_pos, 0)
+    packed = (cnt << 1) | found.astype(jnp.int32)
     # restore query order: distinct rows carry index -1 and sort first
-    _, f2, p2, c2 = jax.lax.sort(
-        (si, found.astype(jnp.int32), pos, cnt), num_keys=1
+    _, p2, pk2 = jax.lax.sort((si, pos, packed), num_keys=1)
+    return CsrProbeResult(
+        (pk2[cap:] & 1) == 1, p2[cap:], pk2[cap:] >> 1
     )
-    return CsrProbeResult(f2[cap:] == 1, p2[cap:], c2[cap:])
 
 
 def join_id_sets(t: CsrJoinTable, res: CsrProbeResult):

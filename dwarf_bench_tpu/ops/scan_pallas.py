@@ -120,6 +120,15 @@ def filter_pallas(
         compacted, _ = _compact_rows(xt, mask, tile)
         sub = jax.lax.broadcasted_iota(jnp.int32, compacted.shape, 0)
 
+        # The previous step's DMA has been in flight during this block's
+        # butterfly; it must complete before comb_ref is overwritten (and
+        # consecutive DMAs overlap in HBM, so ordering matters).
+        @pl.when(i > 0)
+        def _():
+            pltpu.make_async_copy(
+                comb_ref, out_ref.at[:, pl.ds(0, width)], sem
+            ).wait()
+
         # extract the 8 per-row compacted streams + counts
         rows = []
         cnts = []
@@ -163,8 +172,7 @@ def filter_pallas(
             out_ref.at[:, pl.ds(pl.multiple_of(off, 128), width)],
             sem,
         )
-        dma.start()
-        dma.wait()
+        dma.start()  # waited at the top of the NEXT grid step (overlap)
         total = rem + cnt
         adv = (total // 128) * 128
         # new carry = lanes [adv, adv+128) of comb
@@ -175,8 +183,12 @@ def filter_pallas(
 
         @pl.when(i == nblocks - 1)
         def _():
+            # drain the last block's DMA (its tail overlaps the flush), then
             # flush the residual carry chunk (garbage beyond rem is fine —
             # it lies past the reported count)
+            pltpu.make_async_copy(
+                comb_ref, out_ref.at[:, pl.ds(0, width)], sem
+            ).wait()
             dma = pltpu.make_async_copy(
                 carry_ref,
                 out_ref.at[:, pl.ds(pl.multiple_of(state_ref[0], 128), 128)],
