@@ -65,7 +65,9 @@ def main() -> None:
         x = jax.device_put(
             rng.integers(1, 10000, n, endpoint=True).astype(np.int32), device
         )
-        return n / _time_op(jax.jit(sort.sort_xla), x)
+        # range-adaptive: distribution sort (MXU histogram + run expansion)
+        # for the benchmark's [1, 10000] columns, XLA sort fallback otherwise
+        return n / _time_op(jax.jit(sort.sort_auto), x)
 
     def run_groupby():
         n, G = 1 << 22, 64
@@ -83,14 +85,17 @@ def main() -> None:
         n = 1 << 20
         A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
         B = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
-        d = int(len(np.unique(A)))
         da = jax.device_put(A, device)
         db = jax.device_put(B, device)
+        # keys span < 2^14 (host-checked, like the reference's host-side
+        # count_distinct): dense CSR index — MXU histogram build + MXU
+        # table-gather probe, one pair sort total
+        assert csr_join.dense_applicable(A, B)
 
         @jax.jit
         def join_fn(a, b):
-            t = csr_join.build(a, d, 2 * d)
-            r = csr_join.probe_merge(t, b)
+            t = csr_join.build_dense(a)
+            r = csr_join.probe_dense(t, b)
             return r.pos, r.counts
 
         return n / _time_op(join_fn, da, db)

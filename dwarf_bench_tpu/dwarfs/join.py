@@ -109,18 +109,27 @@ class JoinOmnisci(TpuDwarf):
         s = lambda i: derive_seed(opts.seed, buf_size, i)
         a_keys = make_random(buf_size, seed=s(0), dtype=np.uint32)
         b_keys = make_random(buf_size, seed=s(1), dtype=np.uint32)
-        # host-side distinct count sizes the table (join_omnisci.cpp:55-69)
+        # host-side distinct count sizes the table (join_omnisci.cpp:55-69);
+        # the same host knowledge picks the dense (narrow-key) engine when
+        # both columns fit one 2^14 window — true for the [1, 10000] datagen
         unique_keys = len(np.unique(a_keys))
         ht_size = unique_keys * 2
         distinct_cap = unique_keys
+        dense = csr_join.dense_applicable(a_keys, b_keys)
         device = self.device(opts)
 
         for _ in range(opts.iterations):
             t0 = time.perf_counter()
             da_k, db_k = self.put(device, a_keys, b_keys)
-            table = block(csr_join.build(da_k, distinct_cap, ht_size))
+            if dense:
+                table = block(csr_join.build_dense(da_k))
+            else:
+                table = block(csr_join.build(da_k, distinct_cap, ht_size))
             t_build = time.perf_counter()
-            res = block(csr_join.probe_merge(table, db_k))
+            if dense:
+                res = block(csr_join.probe_dense(table, db_k))
+            else:
+                res = block(csr_join.probe_merge(table, db_k))
             t_end = time.perf_counter()
             result = HashJoinResult(
                 host_time=t_end - t0,

@@ -13,7 +13,7 @@ import numpy as np
 from ..common.datagen import derive_seed, make_random
 from ..common.options import DeviceType
 from ..common.result import Result
-from ..ops.sort import sort_oracle, sort_xla
+from ..ops.sort import sort_auto, sort_oracle
 from .base import TpuDwarf
 
 
@@ -30,10 +30,12 @@ class Radix(TpuDwarf):
         device = self.device(opts)
 
         for _ in range(opts.iterations):
+            # sort_auto: distribution sort when the value range fits 2^14
+            # bins (the benchmark's [1, 10000] columns), XLA sort otherwise
             out, dev, host_time = self.timed_with_transfer(
-                device, sort_xla, (host_src,)
+                device, sort_auto, (host_src,)
             )
-            _, kernel_time = self.timed(sort_xla, *dev)
+            _, kernel_time = self.timed(sort_auto, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = np.array_equal(np.asarray(out), expected)
             meter.add_result({"buf_size": str(buf_size)}, result)

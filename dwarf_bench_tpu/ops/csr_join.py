@@ -32,7 +32,9 @@ import numpy as np
 
 from . import hashtable
 from .hashing import simple_hash
+from .mxu_gather import gather_16k
 from .primitives import sort_by_key
+from .sort import histogram_16k
 
 
 class CsrJoinTable(NamedTuple):
@@ -171,6 +173,78 @@ def probe_merge(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
     return CsrProbeResult(
         (pk2[cap:] & 1) == 1, p2[cap:], pk2[cap:] >> 1
     )
+
+
+class DenseCsrTable(NamedTuple):
+    """CSR join index for narrow key ranges (span < 2^14 after a min-shift
+    — the benchmark's uniform [1, 10000] columns, common/common.hpp:31-40).
+    pos/counts are DENSE BY KEY, so the build needs no distinct-key
+    compaction and the probe needs no hash/merge lookup at all."""
+
+    minv: jnp.ndarray  # uint32 scalar: min valid key
+    counts: jnp.ndarray  # (16384,) int32 rows per key
+    pos: jnp.ndarray  # (16384,) int32 start offset per key
+    id_buffer: jnp.ndarray  # (n,) A row ids grouped by key
+    num_distinct: jnp.ndarray  # int32 scalar
+
+
+_RANGE = 1 << 14
+
+
+@jax.jit
+def build_dense(
+    a_keys: jnp.ndarray, row_ids: jnp.ndarray | None = None
+) -> DenseCsrTable:
+    """One-to-many CSR index without a compaction pass: the histogram rides
+    the MXU (ops/sort.histogram_16k) and pos is its exclusive cumsum; the
+    only O(n log n) work left is ONE stable pair sort for the id_buffer.
+    PRECONDITION (caller-checked on host, like the reference's host-side
+    count_distinct, join_omnisci.cpp:55-69): valid keys span < 2^14 as
+    uint32. Rows with key == EMPTY are padding and excluded."""
+    n = a_keys.shape[0]
+    ak = a_keys.astype(jnp.uint32)
+    valid = ak != hashtable.EMPTY
+    minv = jnp.min(jnp.where(valid, ak, jnp.uint32(0xFFFFFFFE)))
+    k = jnp.where(valid, (ak - minv).astype(jnp.int32), -1)
+    counts = histogram_16k(k)
+    pos = jnp.cumsum(counts) - counts
+    ids = jnp.arange(n, dtype=jnp.uint32) if row_ids is None else row_ids
+    _, sid = sort_by_key(ak, ids.astype(jnp.uint32))
+    num_distinct = jnp.sum((counts > 0).astype(jnp.int32))
+    return DenseCsrTable(minv, counts, pos, sid, num_distinct)
+
+
+@jax.jit
+def probe_dense(t: DenseCsrTable, b_keys: jnp.ndarray) -> CsrProbeResult:
+    """lookup() per B row against the dense index: two MXU table gathers
+    (ops/mxu_gather), zero sorts, zero serialized gathers. Counts/positions
+    are < 2^24 (row counts), so 3 value planes reconstruct them exactly."""
+    q = b_keys.astype(jnp.uint32)
+    k = q - t.minv
+    in_range = (k < jnp.uint32(_RANGE)) & (q != hashtable.EMPTY)
+    ki = jnp.where(in_range, k.astype(jnp.int32), -1)
+    planes = 3 if t.id_buffer.shape[0] < (1 << 24) else 4
+    cnt = gather_16k(t.counts, ki, planes=planes)
+    pos = gather_16k(t.pos, ki, planes=planes)
+    found = in_range & (cnt > 0)
+    return CsrProbeResult(
+        found,
+        jnp.where(found, pos, 0),
+        jnp.where(found, cnt, 0),
+    )
+
+
+def dense_applicable(a_keys, b_keys) -> bool:
+    """Host-side applicability check (the same host knowledge the reference
+    uses for its table sizing, join_omnisci.cpp:55-58): both columns' valid
+    keys must live in one < 2^14 uint32 window."""
+    ks = np.concatenate(
+        [np.asarray(a_keys, np.uint32), np.asarray(b_keys, np.uint32)]
+    )
+    ks = ks[ks != np.uint32(0xFFFFFFFF)]
+    if ks.size == 0:
+        return True
+    return int(ks.max()) - int(ks.min()) < _RANGE
 
 
 def join_id_sets(t: CsrJoinTable, res: CsrProbeResult):

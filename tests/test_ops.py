@@ -36,6 +36,42 @@ class TestSortReduce:
         assert np.array_equal(np.asarray(sort.sort_xla(jnp.asarray(x))),
                               sort.sort_oracle(x))
 
+    @pytest.mark.parametrize("n", [1, 255, 8192, 65536, 100_001])
+    def test_sort_counting(self, rng, n):
+        x = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+        assert np.array_equal(np.asarray(sort.sort_counting(jnp.asarray(x))),
+                              sort.sort_oracle(x))
+
+    def test_sort_counting_negative_and_ties(self, rng):
+        x = rng.integers(-5000, 5000, 20_000).astype(np.int32)
+        x[:100] = -5000  # heavy tie at the range edge
+        assert np.array_equal(np.asarray(sort.sort_counting(jnp.asarray(x))),
+                              sort.sort_oracle(x))
+
+    def test_sort_counting_single_value(self):
+        x = np.full(4096, 7, np.int32)
+        assert (np.asarray(sort.sort_counting(jnp.asarray(x))) == 7).all()
+
+    def test_sort_auto_narrow_and_wide(self, rng):
+        narrow = rng.integers(1, 10000, 10_000, endpoint=True).astype(np.int32)
+        assert np.array_equal(np.asarray(sort.sort_auto(jnp.asarray(narrow))),
+                              sort.sort_oracle(narrow))
+        wide = rng.integers(-(2**31), 2**31 - 1, 10_000).astype(np.int32)
+        assert np.array_equal(np.asarray(sort.sort_auto(jnp.asarray(wide))),
+                              sort.sort_oracle(wide))
+        # range straddling the 2^14 cutoff (uint32-exact check, no overflow)
+        edge = np.array([-(2**31), 2**31 - 1, 0, 5, -3], np.int32)
+        assert np.array_equal(np.asarray(sort.sort_auto(jnp.asarray(edge))),
+                              sort.sort_oracle(edge))
+        just_wide = rng.integers(0, 1 << 14, 10_000, endpoint=True).astype(
+            np.int32
+        )
+        just_wide[0], just_wide[1] = 0, 1 << 14  # diff == 2^14: must fall back
+        assert np.array_equal(
+            np.asarray(sort.sort_auto(jnp.asarray(just_wide))),
+            sort.sort_oracle(just_wide),
+        )
+
     def test_reduce_wraps_like_int32(self, rng):
         x = rng.integers(1, 10000, 1_000_000, endpoint=True).astype(np.int32)
         assert int(np.int32(np.asarray(red.reduce_sum(jnp.asarray(x))))) == \
@@ -129,6 +165,39 @@ class TestCsrJoin:
         for j in range(d):
             seg_ids = idbuf[pos[j]: pos[j] + counts[j]]
             assert len(set(A[seg_ids])) == 1
+
+
+class TestDenseCsrJoin:
+    @pytest.mark.parametrize("n,lo,hi", [(100, 1, 20), (3000, 1, 10000),
+                                         (5000, 90000, 100000)])
+    def test_id_sets(self, rng, n, lo, hi):
+        A = rng.integers(lo, hi, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(lo, hi, n, endpoint=True).astype(np.uint32)
+        assert csr_join.dense_applicable(A, B)
+        t = csr_join.build_dense(jnp.asarray(A))
+        res = csr_join.probe_dense(t, jnp.asarray(B))
+        assert csr_join.join_id_sets(t, res) == csr_join.oracle_id_sets(A, B)
+        assert int(t.num_distinct) == len(np.unique(A))
+
+    def test_probe_misses_and_empty_padding(self, rng):
+        A = np.concatenate(
+            [rng.integers(100, 200, 500).astype(np.uint32),
+             np.full(12, 0xFFFFFFFF, np.uint32)]  # EMPTY padding rows
+        )
+        B = rng.integers(1, 400, 300).astype(np.uint32)  # misses both sides
+        t = csr_join.build_dense(jnp.asarray(A))
+        res = csr_join.probe_dense(t, jnp.asarray(B))
+        assert csr_join.join_id_sets(t, res) == csr_join.oracle_id_sets(
+            A[:500], B
+        )
+
+    def test_dense_applicable(self, rng):
+        assert not csr_join.dense_applicable(
+            np.array([1], np.uint32), np.array([1 << 20], np.uint32)
+        )
+        assert csr_join.dense_applicable(
+            np.array([0xFFFFFFFF], np.uint32), np.array([5], np.uint32)
+        )
 
 
 class TestJoinHelpers:
