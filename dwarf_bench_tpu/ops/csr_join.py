@@ -32,9 +32,9 @@ import numpy as np
 
 from . import hashtable
 from .hashing import simple_hash
-from .mxu_gather import gather_16k
+from .mxu_gather import gather_16k_multi
 from .primitives import sort_by_key
-from .sort import histogram_16k
+from .sort import histogram_dispatch
 
 
 class CsrJoinTable(NamedTuple):
@@ -206,7 +206,7 @@ def build_dense(
     valid = ak != hashtable.EMPTY
     minv = jnp.min(jnp.where(valid, ak, jnp.uint32(0xFFFFFFFE)))
     k = jnp.where(valid, (ak - minv).astype(jnp.int32), -1)
-    counts = histogram_16k(k)
+    counts = histogram_dispatch(k)
     pos = jnp.cumsum(counts) - counts
     ids = jnp.arange(n, dtype=jnp.uint32) if row_ids is None else row_ids
     _, sid = sort_by_key(ak, ids.astype(jnp.uint32))
@@ -216,16 +216,16 @@ def build_dense(
 
 @jax.jit
 def probe_dense(t: DenseCsrTable, b_keys: jnp.ndarray) -> CsrProbeResult:
-    """lookup() per B row against the dense index: two MXU table gathers
-    (ops/mxu_gather), zero sorts, zero serialized gathers. Counts/positions
-    are < 2^24 (row counts), so 3 value planes reconstruct them exactly."""
+    """lookup() per B row against the dense index: ONE fused multi-table
+    MXU gather (ops/mxu_gather), zero sorts, zero serialized gathers.
+    Counts/positions are < 2^24 (row counts), so 3 value planes reconstruct
+    them exactly."""
     q = b_keys.astype(jnp.uint32)
     k = q - t.minv
     in_range = (k < jnp.uint32(_RANGE)) & (q != hashtable.EMPTY)
     ki = jnp.where(in_range, k.astype(jnp.int32), -1)
     planes = 3 if t.id_buffer.shape[0] < (1 << 24) else 4
-    cnt = gather_16k(t.counts, ki, planes=planes)
-    pos = gather_16k(t.pos, ki, planes=planes)
+    cnt, pos = gather_16k_multi((t.counts, t.pos), ki, planes=planes)
     found = in_range & (cnt > 0)
     return CsrProbeResult(
         found,

@@ -1,0 +1,97 @@
+"""Fused Pallas 16384-bin histogram (the counting-sort / dense-join engine).
+
+The XLA formulation (ops/sort.histogram_16k) materializes two one-hot
+matrices per tile and a (tiles, 128, 128) partials array in HBM. This
+kernel fuses everything: per block the hi/lo one-hots are built in VMEM as
+(128, W) lane-major compares — both operands of the count matmul contract
+over LANES (dot_general ((1,), (1,)) is A @ B^T, which the MXU consumes
+natively), so no transposes or relayouts are needed anywhere — and a single
+(128, 128) f32 accumulator in VMEM scratch integrates across the
+sequential grid. HBM traffic = read the keys once + write 64 KB.
+
+Exactness: 0/1 one-hots are exact in bf16; each f32 partial count is
+bounded by n < 2^24.
+
+Semantics match histogram_16k: bin b counts keys whose uint32 value is
+b (< 2^14); keys >= 2^14 as uint32 (negatives, EMPTY-style sentinels)
+count nowhere. Padding rows are masked by global element index.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROWS = 8
+_W = 2048  # lanes per sublane row per block
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def histogram_16k_pallas(k: jnp.ndarray, interpret: bool = False):
+    """(16384,) int32 histogram of int32/uint32 keys; out-of-range keys
+    (uint32 value >= 2^14) are ignored. Drop-in for sort.histogram_16k."""
+    n = k.shape[0]
+    block = _ROWS * _W
+    pad = (-n) % block
+    kp = jnp.pad(k.astype(jnp.int32), (0, pad))
+    k2 = kp.reshape(-1, _W)  # (nblocks*8, W)
+    nblocks = (n + pad) // block
+    n_arr = jnp.full((1,), n, jnp.int32)
+
+    def kernel(n_ref, k_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros((128, 128), jnp.float32)
+
+        base = i * block
+        nn = n_ref[0]
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
+        for r in range(_ROWS):
+            row = k_ref[r, :].reshape(1, _W)
+            # global index of element (r, lane) in this block
+            idx = base + r * _W + jax.lax.broadcasted_iota(
+                jnp.int32, (1, _W), 1
+            )
+            # uint32 >= 2^14 → hi outside [0, 128) → counts nowhere; route
+            # padding the same way
+            hi = jnp.where(idx < nn, (row >> 7) & 0x01FFFFFF, 128)
+            hi = jnp.where(row < 0, 128, hi)
+            lo = row & 127
+            oh_hi = (jnp.broadcast_to(hi, (128, _W)) == sub_iota).astype(
+                jnp.bfloat16
+            )
+            oh_lo = (jnp.broadcast_to(lo, (128, _W)) == sub_iota).astype(
+                jnp.bfloat16
+            )
+            acc_ref[...] += jax.lax.dot_general(
+                oh_hi,
+                oh_lo,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            out_ref[...] = acc_ref[...].astype(jnp.int32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
+        interpret=interpret,
+    )(n_arr, k2)
+    return out.reshape(-1)

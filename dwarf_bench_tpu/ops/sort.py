@@ -83,10 +83,20 @@ def _expand_runs(counts: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.cumsum(s, dtype=jnp.int32) - 1
 
 
+def histogram_dispatch(k: jnp.ndarray) -> jnp.ndarray:
+    """histogram_16k semantics; fused Pallas kernel on accelerators, the
+    XLA one-hot formulation on CPU (trace-time choice)."""
+    if jax.default_backend() == "cpu":
+        return histogram_16k(k)
+    from .hist_pallas import histogram_16k_pallas
+
+    return histogram_16k_pallas(k)
+
+
 def _sort_counting_shifted(x: jnp.ndarray, minv) -> jnp.ndarray:
     n = x.shape[0]
     k = (x - minv).astype(jnp.int32)
-    counts = histogram_16k(k)
+    counts = histogram_dispatch(k)
     return (_expand_runs(counts, n) + minv).astype(x.dtype)
 
 

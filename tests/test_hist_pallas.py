@@ -1,0 +1,28 @@
+"""Pallas fused histogram vs the XLA formulation (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dwarf_bench_tpu.ops.hist_pallas import histogram_16k_pallas
+from dwarf_bench_tpu.ops.sort import histogram_16k
+
+
+@pytest.mark.parametrize("n", [1, 1000, 16384, 50_000])
+def test_matches_xla_histogram(rng, n):
+    k = rng.integers(0, 1 << 14, n).astype(np.int32)
+    got = np.asarray(histogram_16k_pallas(jnp.asarray(k), interpret=True))
+    exp = np.asarray(histogram_16k(jnp.asarray(k)))
+    assert np.array_equal(got, exp)
+    assert got.sum() == n
+
+
+def test_out_of_range_ignored(rng):
+    k = rng.integers(0, 1 << 14, 5000).astype(np.int32)
+    k[:100] = -1  # uint32 huge → ignored
+    k[100:200] = 1 << 14  # just out of range
+    k[200:300] = np.int32(-2147483648)
+    got = np.asarray(histogram_16k_pallas(jnp.asarray(k), interpret=True))
+    exp = np.bincount(k[300:][k[300:] >= 0], minlength=1 << 14)
+    assert np.array_equal(got, exp)
+    assert got.sum() == 4700
