@@ -39,7 +39,6 @@ def main() -> None:
     import jax
 
     from dwarf_bench_tpu.ops import csr_join, groupby, scan, sort
-    from dwarf_bench_tpu.ops.scan_pallas import filter_pallas
     from dwarf_bench_tpu.utils.roofline import (
         BYTES_PER_ROW,
         device_bandwidth,
@@ -106,8 +105,9 @@ def main() -> None:
             rng.integers(1, 10000, n, endpoint=True).astype(np.int32),
             device,
         )
-        fn = filter_pallas if on_accel else scan.filter_two_pass
-        return n / _time_op(jax.jit(fn), x)
+        # sparsity-adaptive engine: near read-bound at the benchmark's
+        # 0.04% selectivity, Pallas butterfly fallback when caps trip
+        return n / _time_op(jax.jit(scan.filter_sparse), x)
 
     # (name, runner, minimum seconds of budget to attempt it —
     # remote-compile estimates on the accelerator; CPU compiles are fast)

@@ -12,7 +12,12 @@ import numpy as np
 from ..common.datagen import derive_seed, make_random
 from ..common.options import DeviceType
 from ..common.result import Result
-from ..ops.scan import filter_oracle, filter_two_pass, filter_xla
+from ..ops.scan import (
+    filter_oracle,
+    filter_sparse,
+    filter_two_pass,
+    filter_xla,
+)
 from .base import TpuDwarf
 
 
@@ -62,8 +67,12 @@ class TwoPassScan(_ScanBase):
 
 
 class DPLScan(_ScanBase):
-    """Vendor-algorithm filter (oneDPL copy_if, dplscan.cpp:43-44) →
-    XLA cumsum + scatter compaction."""
+    """Vendor-algorithm filter (oneDPL copy_if, dplscan.cpp:43-44) → the
+    best available engine: the sparsity-adaptive filter (ops/scan.
+    filter_sparse — near read-bound at the benchmark's 0.04% selectivity,
+    general-kernel fallback otherwise)."""
+
+    filter_fn = staticmethod(filter_sparse)
 
     def __init__(self, name: str = "DPLScan"):
         super().__init__(name)

@@ -95,6 +95,51 @@ def groupby_sum_matmul_bf16(
 
 
 @partial(jax.jit, static_argnames=("num_groups",))
+def groupby_sum_2level(
+    keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int
+):
+    """MXU group-by for 4096 < G <= 16384 via the two-level (hi/lo 7-bit
+    digit) weighted histogram: sums[h, l] = Σ_t v_plane[t]·oh_hi·oh_lo with
+    values split into two 7-bit bf16 planes (exact for v < 2^14). Pallas
+    fused kernel on accelerators, per-tile XLA formulation on CPU."""
+    assert num_groups <= 1 << 14
+    if jax.default_backend() != "cpu":
+        from .hist_pallas import weighted_histogram_16k_pallas
+
+        sums = weighted_histogram_16k_pallas(
+            keys.astype(jnp.int32), vals.astype(jnp.int32)
+        )
+        return sums[:num_groups].astype(jnp.uint32)
+
+    n = keys.shape[0]
+    pad = (-n) % _BF16_TILE
+    k = jnp.pad(keys.astype(jnp.int32), (0, pad),
+                constant_values=np.int32(1 << 14))
+    v = jnp.pad(vals.astype(jnp.int32), (0, pad))
+    kt = k.reshape(-1, _BF16_TILE)
+    vt = v.reshape(-1, _BF16_TILE)
+    cols = jnp.arange(128, dtype=jnp.int32)
+
+    def tile_partial(kt_i, vt_i):
+        oh_hi = ((kt_i >> 7)[:, None] == cols[None, :]).astype(jnp.bfloat16)
+        oh_lo = ((kt_i & 127)[:, None] == cols[None, :]).astype(jnp.bfloat16)
+        out = jnp.zeros((128, 128), jnp.int32)
+        for shift in (0, 7):
+            vp = ((vt_i >> shift) & 0x7F).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                oh_hi * vp[:, None], oh_lo,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = out + (s.astype(jnp.int32) << shift)
+        return out
+
+    partials = jax.vmap(tile_partial)(kt, vt)
+    sums = jnp.sum(partials, axis=0, dtype=jnp.int32).reshape(-1)
+    return sums[:num_groups].astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
 def groupby_sum_sorted(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
     n = keys.shape[0]
     sk, sv = jax.lax.sort(
@@ -127,11 +172,14 @@ def groupby_sum_scatter(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
 
 def groupby_sum(keys, vals, num_groups: int, vals_below_2p14: bool = False):
     """Dispatch: MXU one-hot path for small group counts (bf16 planes when
-    the caller guarantees values < 2^14), sort path beyond."""
+    the caller guarantees values < 2^14), two-level MXU weighted histogram
+    up to 2^14 groups, sort path beyond."""
     if num_groups <= 4096:
         if vals_below_2p14:
             return groupby_sum_matmul_bf16(keys, vals, num_groups)
         return groupby_sum_matmul(keys, vals, num_groups)
+    if num_groups <= (1 << 14) and vals_below_2p14:
+        return groupby_sum_2level(keys, vals, num_groups)
     return groupby_sum_sorted(keys, vals, num_groups)
 
 

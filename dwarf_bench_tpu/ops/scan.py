@@ -67,6 +67,134 @@ def filter_two_pass(
     return out, count.astype(jnp.int32)
 
 
+_BIG = jnp.int32(0x7FFFFFFF)  # position sentinel: sorts last
+
+
+@partial(
+    jax.jit,
+    static_argnames=("capacity", "chunk", "cap_mc", "cap_single", "interpret"),
+)
+def filter_sparse(
+    x: jnp.ndarray,
+    threshold=DEFAULT_THRESHOLD,
+    capacity: int | None = None,
+    chunk: int = 128,
+    cap_mc: int = 512,
+    cap_single: int = 32768,
+    interpret: bool = False,
+):
+    """Sparsity-adaptive copy_if → (out, count).
+
+    The reference's benchmark predicate (x < 5 over uniform [1, 10000],
+    scan/scan.cl:14 + common/common.hpp:31-40) selects ~0.04% of rows, so a
+    full streaming compaction does O(log tile) vector passes per element to
+    move almost nothing. This engine is near read-bound at low selectivity:
+
+      phase A (one streaming read): per-``chunk`` match counts and masked
+        value sums; exclusive cumsum of counts gives each chunk's output
+        base. A chunk with exactly ONE match needs no extraction — its
+        masked sum IS the matching value.
+      phase B (tiny): the rare chunks with ≥ 2 matches (expected
+        (chunk·sel)²/2 per chunk) are compacted to a ≤``cap_mc`` id list
+        (mask-driven Pallas compaction on accelerators), their contents
+        row-gathered, and per-element output positions computed in-chunk.
+      ordering: single values (≤``cap_single``) and multi-chunk elements
+        carry explicit output positions; one small (≤41K-row) pair sort by
+        position restores global order — garbage rows carry a sentinel
+        position and sort past ``count``.
+
+    When either cap trips (higher selectivity), a ``lax.cond`` falls back to
+    the general butterfly compaction (filter_pallas / filter_two_pass), so
+    the result is correct for EVERY selectivity; only the fast path is
+    specialized. Requires n < 2^30 (position sentinel headroom).
+
+    ``chunk`` must be 128 for speed: a chunk is then exactly one vreg row,
+    so phase A's reductions are natural lane reductions (a 32-wide chunk
+    costs ~100× more in relayouts — measured 0.98 ms vs 0.009 ms at 2^24).
+    Measured at 2^24, threshold 5, v5e: 0.411 ms = 40.8 Grows/s vs 4.25 for
+    the butterfly kernel.
+    """
+    n = x.shape[0]
+    if capacity is None:
+        capacity = n
+    on_accel = jax.default_backend() != "cpu"
+
+    pad = (-n) % chunk
+    xp = jnp.pad(x, (0, pad), constant_values=jnp.asarray(0, x.dtype))
+    if pad:
+        # padded tail must not match: overwrite with threshold (x < x false)
+        tail_is_pad = jnp.arange(xp.shape[0]) >= n
+        xp = jnp.where(tail_is_pad, jnp.asarray(threshold, x.dtype), xp)
+    nch = xp.shape[0] // chunk
+    xc = xp.reshape(nch, chunk)
+    m = xc < threshold
+    cnt = jnp.sum(m.astype(jnp.int32), axis=1)
+    vsum = jnp.sum(jnp.where(m, xc, 0).astype(jnp.int32), axis=1)
+    base = jnp.cumsum(cnt) - cnt
+    total = (base[-1] + cnt[-1]).astype(jnp.int32)
+    single = cnt == 1
+    multi = cnt >= 2
+    n_multi = jnp.sum(multi.astype(jnp.int32))
+    n_single = jnp.sum(single.astype(jnp.int32))
+    ok = (n_single <= cap_single) & (n_multi <= cap_mc)
+
+    def sparse_branch(xp, base, vsum, single, multi):
+        if on_accel:
+            from .compact_pallas import compact_mask_pallas
+
+            (spos, sval), _ = compact_mask_pallas(
+                single, (base, vsum), capacity=cap_single,
+                interpret=interpret,
+            )
+            (mids,), _ = compact_mask_pallas(
+                multi, (jnp.arange(nch, dtype=jnp.int32),),
+                capacity=cap_mc, interpret=interpret,
+            )
+        else:
+            from .primitives import compact_multi
+
+            (spos, sval), _ = compact_multi(
+                (base, vsum), single, capacity=cap_single
+            )
+            (mids,), _ = compact_multi(
+                (jnp.arange(nch, dtype=jnp.int32),), multi, capacity=cap_mc
+            )
+        iota_s = jnp.arange(cap_single, dtype=jnp.int32)
+        spos = jnp.where(iota_s < n_single, spos, _BIG)
+
+        iota_m = jnp.arange(cap_mc, dtype=jnp.int32)
+        valid_m = iota_m < n_multi
+        midsafe = jnp.where(valid_m, mids, 0)
+        rows = xp.reshape(nch, chunk)[midsafe]  # (cap_mc, chunk) row gather
+        gm = (rows < threshold) & valid_m[:, None]
+        grank = jnp.cumsum(gm.astype(jnp.int32), axis=1) - gm
+        gpos = jnp.where(gm, base[midsafe][:, None] + grank, _BIG)
+
+        all_pos = jnp.concatenate([spos, gpos.reshape(-1)])
+        all_val = jnp.concatenate(
+            [sval, rows.reshape(-1).astype(jnp.int32)]
+        )
+        _, sv = jax.lax.sort((all_pos, all_val), num_keys=1)
+        k = min(capacity, all_val.shape[0])
+        out = jnp.zeros((capacity,), jnp.int32).at[:k].set(sv[:k])
+        return out.astype(x.dtype), total
+
+    def general_branch(xp, base, vsum, single, multi):
+        if on_accel:
+            from .scan_pallas import filter_pallas
+
+            out, c = filter_pallas(
+                xp[:n], threshold, capacity=capacity, interpret=interpret
+            )
+        else:
+            out, c = filter_two_pass(xp[:n], threshold, capacity=capacity)
+        return out.astype(x.dtype), c
+
+    return jax.lax.cond(
+        ok, sparse_branch, general_branch, xp, base, vsum, single, multi
+    )
+
+
 def filter_oracle(x, threshold=DEFAULT_THRESHOLD):
     """Host oracle: std::copy_if equivalent (scan/scan.cpp:12-17)."""
     import numpy as np

@@ -17,6 +17,21 @@ def test_matches_xla_histogram(rng, n):
     assert got.sum() == n
 
 
+def test_weighted_matches_oracle(rng):
+    from dwarf_bench_tpu.ops.groupby import groupby_oracle
+    from dwarf_bench_tpu.ops.hist_pallas import weighted_histogram_16k_pallas
+
+    n, g = 50_000, 1 << 14
+    k = rng.integers(0, g, n).astype(np.int32)
+    v = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+    got = np.asarray(
+        weighted_histogram_16k_pallas(
+            jnp.asarray(k), jnp.asarray(v), interpret=True
+        )
+    ).astype(np.uint32)
+    assert np.array_equal(got, groupby_oracle(k, v, g))
+
+
 def test_out_of_range_ignored(rng):
     k = rng.integers(0, 1 << 14, 5000).astype(np.int32)
     k[:100] = -1  # uint32 huge → ignored

@@ -17,6 +17,40 @@ class TestFilter:
         assert int(cnt) == len(exp)
         assert np.array_equal(np.asarray(out)[: len(exp)], exp)
 
+    @pytest.mark.parametrize("n", [100, 8192, 200_000])
+    @pytest.mark.parametrize("thr", [5, 100, 3000])
+    def test_sparse_vs_oracle(self, rng, n, thr):
+        x = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+        out, cnt = scan.filter_sparse(jnp.asarray(x), thr)
+        exp = scan.filter_oracle(x, thr)
+        assert int(cnt) == len(exp)
+        assert np.array_equal(np.asarray(out)[: len(exp)], exp)
+
+    def test_sparse_cap_trip_falls_back(self, rng):
+        # selectivity 0.9: both caps trip, cond takes the general branch
+        x = rng.integers(1, 10, 50_000, endpoint=True).astype(np.int32)
+        out, cnt = scan.filter_sparse(jnp.asarray(x), 9)
+        exp = scan.filter_oracle(x, 9)
+        assert int(cnt) == len(exp)
+        assert np.array_equal(np.asarray(out)[: len(exp)], exp)
+
+    def test_sparse_none_and_all(self):
+        x = np.full(10_000, 99, np.int32)
+        out, cnt = scan.filter_sparse(jnp.asarray(x))
+        assert int(cnt) == 0
+        x = np.ones(10_000, np.int32)
+        out, cnt = scan.filter_sparse(jnp.asarray(x))
+        assert int(cnt) == 10_000
+        assert (np.asarray(out) == 1).all()
+
+    def test_sparse_boundary_selectivity(self, rng):
+        # right at the single/multi boundary: ~2 matches per 32-chunk
+        x = rng.integers(1, 16, 100_000, endpoint=True).astype(np.int32)
+        out, cnt = scan.filter_sparse(jnp.asarray(x), 2)
+        exp = scan.filter_oracle(x, 2)
+        assert int(cnt) == len(exp)
+        assert np.array_equal(np.asarray(out)[: len(exp)], exp)
+
     def test_all_match(self):
         x = np.ones(1000, np.int32)
         out, cnt = scan.filter_two_pass(jnp.asarray(x))
@@ -86,6 +120,7 @@ class TestGroupBy:
         vals = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
         exp = groupby.groupby_oracle(keys, vals, G)
         for fn in (groupby.groupby_sum_matmul, groupby.groupby_sum_sorted,
+                   groupby.groupby_sum_2level,
                    groupby.groupby_sum_scatter):
             got = np.asarray(fn(jnp.asarray(keys), jnp.asarray(vals), G))
             assert np.array_equal(got, exp), fn.__name__
