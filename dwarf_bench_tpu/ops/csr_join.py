@@ -32,7 +32,7 @@ import numpy as np
 
 from . import hashtable
 from .hashing import simple_hash
-from .mxu_gather import gather_16k_multi
+from .mxu_gather import gather_16k
 from .primitives import sort_by_key
 from .sort import histogram_dispatch
 
@@ -216,16 +216,18 @@ def build_dense(
 
 @jax.jit
 def probe_dense(t: DenseCsrTable, b_keys: jnp.ndarray) -> CsrProbeResult:
-    """lookup() per B row against the dense index: ONE fused multi-table
-    MXU gather (ops/mxu_gather), zero sorts, zero serialized gathers.
-    Counts/positions are < 2^24 (row counts), so 3 value planes reconstruct
-    them exactly."""
+    """lookup() per B row against the dense index: two MXU table gathers
+    (ops/mxu_gather), zero sorts, zero serialized gathers. Counts/positions
+    are < 2^24 (row counts), so 3 value planes reconstruct them exactly.
+    (A fused multi-table gather was measured 7x SLOWER — its concatenated
+    plane matmul materializes a (tile, 768) f32 intermediate to HBM.)"""
     q = b_keys.astype(jnp.uint32)
     k = q - t.minv
     in_range = (k < jnp.uint32(_RANGE)) & (q != hashtable.EMPTY)
     ki = jnp.where(in_range, k.astype(jnp.int32), -1)
     planes = 3 if t.id_buffer.shape[0] < (1 << 24) else 4
-    cnt, pos = gather_16k_multi((t.counts, t.pos), ki, planes=planes)
+    cnt = gather_16k(t.counts, ki, planes=planes)
+    pos = gather_16k(t.pos, ki, planes=planes)
     found = in_range & (cnt > 0)
     return CsrProbeResult(
         found,

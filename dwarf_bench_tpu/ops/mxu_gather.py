@@ -69,48 +69,3 @@ def gather_16k(table: jnp.ndarray, idx: jnp.ndarray, planes: int = 4):
 
     out = jax.vmap(tile_lookup)(it).reshape(-1)[:n]
     return out.astype(table.dtype)
-
-
-@partial(jax.jit, static_argnames=("planes",))
-def gather_16k_multi(tables, idx: jnp.ndarray, planes: int = 4):
-    """Look up the SAME indices in several ≤16K tables at once. The one-hot
-    matrices are built once and all (table, plane) matrices are concatenated
-    column-wise into a single (128, 128·T·P) operand, so the whole batch is
-    ONE matmul per tile — the per-lookup cost shrinks toward the pure MXU
-    term as tables are added. Returns a tuple aligned with ``tables``."""
-    nt = len(tables)
-    mats = []
-    for table in tables:
-        k = table.shape[0]
-        assert k <= _K, f"table too large for MXU gather: {k}"
-        t = jnp.pad(table.astype(jnp.uint32), (0, _K - k)).reshape(128, 128)
-        for p in range(planes):
-            mats.append(((t >> (8 * p)) & 0xFF).astype(jnp.bfloat16))
-    big = jnp.concatenate(mats, axis=1)  # (128, 128 * nt * planes)
-
-    n = idx.shape[0]
-    pad = (-n) % _TILE
-    ip = jnp.pad(idx.astype(jnp.int32), (0, pad), constant_values=np.int32(-1))
-    it = ip.reshape(-1, _TILE)
-    cols = jnp.arange(128, dtype=jnp.int32)
-
-    def tile_lookup(it_i):
-        hi = it_i >> 7
-        lo = it_i & 127
-        oh_hi = (hi[:, None] == cols[None, :]).astype(jnp.bfloat16)
-        oh_lo = (lo[:, None] == cols[None, :]).astype(jnp.float32)
-        a = jnp.dot(oh_hi, big, preferred_element_type=jnp.float32)
-        outs = []
-        for j in range(nt):
-            o = jnp.zeros((_TILE,), jnp.uint32)
-            for p in range(planes):
-                sl = a[:, (j * planes + p) * 128 : (j * planes + p + 1) * 128]
-                v = jnp.sum(sl * oh_lo, axis=1)
-                o = o + (v.astype(jnp.uint32) << (8 * p))
-            outs.append(o)
-        return tuple(outs)
-
-    outs = jax.vmap(tile_lookup)(it)
-    return tuple(
-        o.reshape(-1)[:n].astype(t.dtype) for o, t in zip(outs, tables)
-    )

@@ -70,17 +70,25 @@ def histogram_16k(k: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("n",))
-def _expand_runs(counts: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Sorted bin-index column from a histogram: out[i] = the b such that
-    C[b] <= i < C[b+1] where C = exclusive cumsum of counts.
+def _expand_runs(counts: jnp.ndarray, n: int, shift=0) -> jnp.ndarray:
+    """Sorted bin-index column (plus ``shift``) from a histogram:
+    out[i] = shift + the b such that C[b] <= i < C[b+1], C = exclusive
+    cumsum of counts.
 
     Scatter-free-ish run expansion: out[i] = #{b : C[b] <= i} - 1.  s[j] =
     #{b : C[b] == j} is built by a K-element scatter-add (K = 16384 — tiny,
-    so XLA's serialized scatter costs ~0.1 ms) and the long inclusive cumsum
-    streams once over the output."""
+    so XLA's serialized scatter costs ~0.1 ms); the long inclusive cumsum
+    streams once over the output (MXU Pallas kernel on accelerators — s
+    sums to 16384 globally, far under its per-block 2^24 exactness bound —
+    with the -1+shift folded into its carry)."""
     starts = jnp.cumsum(counts) - counts  # exclusive; sorted, C[0] = 0
     s = jnp.zeros((n,), jnp.int32).at[starts].add(1, mode="drop")
-    return jnp.cumsum(s, dtype=jnp.int32) - 1
+    shift = jnp.asarray(shift, jnp.int32)
+    if jax.default_backend() == "cpu":
+        return jnp.cumsum(s, dtype=jnp.int32) + (shift - 1)
+    from .cumsum_pallas import cumsum_pallas
+
+    return cumsum_pallas(s, carry_init=shift - 1)
 
 
 def histogram_dispatch(k: jnp.ndarray) -> jnp.ndarray:
@@ -97,7 +105,9 @@ def _sort_counting_shifted(x: jnp.ndarray, minv) -> jnp.ndarray:
     n = x.shape[0]
     k = (x - minv).astype(jnp.int32)
     counts = histogram_dispatch(k)
-    return (_expand_runs(counts, n) + minv).astype(x.dtype)
+    return _expand_runs(
+        counts, n, shift=minv.astype(jnp.int32)
+    ).astype(x.dtype)
 
 
 @jax.jit

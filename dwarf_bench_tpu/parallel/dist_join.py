@@ -23,8 +23,21 @@ from .mesh import ROW_AXIS
 from .shuffle import partition_for_shuffle
 
 
+def _local_join(keys, row_ids, queries, distinct_cap, ht_size, dense):
+    """Per-chip CSR join engine: dense-by-key (MXU histogram build + MXU
+    gather probe, ops/csr_join.build_dense) when the caller guarantees the
+    GLOBAL key span fits one 2^14 window (csr_join.dense_applicable — the
+    same host knowledge that sizes distinct_cap), general sort-merge
+    otherwise."""
+    if dense:
+        t = csr_join.build_dense(keys, row_ids=row_ids)
+        return csr_join.probe_dense(t, queries)
+    t = csr_join.build(keys, distinct_cap, ht_size, row_ids=row_ids)
+    return csr_join.probe_merge(t, queries)
+
+
 def dist_csr_join(mesh: Mesh, rows_per_chip: int, distinct_cap: int,
-                  ht_size: int, shuffle_capacity: int):
+                  ht_size: int, shuffle_capacity: int, dense: bool = False):
     """Returns a jitted fn(a_keys, b_keys) over row-sharded inputs.
 
     Outputs (all row-sharded by chip): local match counts per received B
@@ -49,10 +62,9 @@ def dist_csr_join(mesh: Mesh, rows_per_chip: int, distinct_cap: int,
         flat_ai = rai.reshape(-1)
         flat_bk = rbk.reshape(-1)
 
-        table = csr_join.build(
-            flat_ak, distinct_cap, ht_size, row_ids=flat_ai
+        res = _local_join(
+            flat_ak, flat_ai, flat_bk, distinct_cap, ht_size, dense
         )
-        res = csr_join.probe_merge(table, flat_bk)
         local_matches = jnp.sum(
             jnp.where(res.found, res.counts, 0).astype(jnp.int32)
         )

@@ -1,0 +1,39 @@
+"""MXU Pallas cumsum vs jnp.cumsum (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dwarf_bench_tpu.ops.cumsum_pallas import cumsum_pallas
+
+
+@pytest.mark.parametrize("n", [1, 1000, 131072, 300_000])
+def test_matches_jnp(rng, n):
+    # sparse 0/1-ish input (the run-expansion shape): block sums far < 2^24
+    x = (rng.random(n) < 0.01).astype(np.int32) * rng.integers(1, 5, n).astype(
+        np.int32
+    )
+    got = np.asarray(cumsum_pallas(jnp.asarray(x), interpret=True))
+    assert np.array_equal(got, np.cumsum(x).astype(np.int32))
+
+
+def test_carry_init_and_negatives(rng):
+    x = rng.integers(-3, 4, 50_000).astype(np.int32)
+    got = np.asarray(cumsum_pallas(jnp.asarray(x), carry_init=-7,
+                                   interpret=True))
+    assert np.array_equal(got, (np.cumsum(x) - 7).astype(np.int32))
+
+
+def test_expand_runs_equivalence(rng):
+    """The counting-sort path: expansion via cumsum_pallas == XLA path."""
+    from dwarf_bench_tpu.ops.sort import histogram_16k
+
+    n = 100_000
+    k = rng.integers(0, 10000, n).astype(np.int32)
+    counts = histogram_16k(jnp.asarray(k))
+    starts = jnp.cumsum(counts) - counts
+    s = jnp.zeros((n,), jnp.int32).at[starts].add(1, mode="drop")
+    got = np.asarray(cumsum_pallas(s, carry_init=-1, interpret=True))
+    exp = np.cumsum(np.asarray(s)) - 1
+    assert np.array_equal(got, exp)
+    assert np.array_equal(got, np.sort(k, kind="stable"))

@@ -80,6 +80,22 @@ class TestDistJoin:
         assert int(np.asarray(total).ravel()[0]) == expected_total
         assert int(np.sum(np.asarray(local_totals))) == expected_total
 
+        # dense engine (global key span < 2^14, host-checked like the dwarf)
+        from dwarf_bench_tpu.ops.csr_join import dense_applicable
+
+        assert dense_applicable(A, B)
+        fn_dense = dist_csr_join(
+            mesh,
+            rows_per_chip=per_chip,
+            distinct_cap=N_DEV * cap,
+            ht_size=2 * N_DEV * cap,
+            shuffle_capacity=cap,
+            dense=True,
+        )
+        _, _, total_d, overflow_d = fn_dense(da, db)
+        assert int(np.sum(np.asarray(overflow_d))) == 0
+        assert int(np.asarray(total_d).ravel()[0]) == expected_total
+
 
 class TestShuffle:
     def test_partition_preserves_rows(self, mesh, rng):

@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from dwarf_bench_tpu.ops.mxu_gather import gather_16k, gather_16k_multi
+from dwarf_bench_tpu.ops.mxu_gather import gather_16k
 
 
 @pytest.mark.parametrize("k,n", [(7, 100), (16384, 10_000), (5000, 8192)])
@@ -27,16 +27,3 @@ def test_full_32bit_values(rng):
     idx = np.array([0, 1, 2, 3, 2], np.int32)
     got = np.asarray(gather_16k(jnp.asarray(table), jnp.asarray(idx)))
     assert np.array_equal(got, table[idx])
-
-
-def test_multi_matches_single(rng):
-    t1 = rng.integers(0, 1 << 24, 10_000).astype(np.int32)
-    t2 = rng.integers(0, 1 << 24, 10_000).astype(np.int32)
-    idx = rng.integers(-5, 10_000, 4096).astype(np.int32)
-    g1, g2 = gather_16k_multi(
-        (jnp.asarray(t1), jnp.asarray(t2)), jnp.asarray(idx), planes=3
-    )
-    assert np.array_equal(np.asarray(g1),
-                          np.asarray(gather_16k(jnp.asarray(t1), idx, planes=3)))
-    assert np.array_equal(np.asarray(g2),
-                          np.asarray(gather_16k(jnp.asarray(t2), idx, planes=3)))
