@@ -179,13 +179,20 @@ class DenseCsrTable(NamedTuple):
     """CSR join index for narrow key ranges (span < 2^14 after a min-shift
     — the benchmark's uniform [1, 10000] columns, common/common.hpp:31-40).
     pos/counts are DENSE BY KEY, so the build needs no distinct-key
-    compaction and the probe needs no hash/merge lookup at all."""
+    compaction and the probe needs no hash/merge lookup at all.
+
+    ``packed`` holds (pos << 12) | cnt per key and ``packed_ok`` says every
+    count fits 12 bits — then the probe's two table lookups collapse into
+    ONE MXU gather (the gather is VPU-bound in its one-hot/select passes,
+    so fewer gathers beat fewer planes)."""
 
     minv: jnp.ndarray  # uint32 scalar: min valid key
     counts: jnp.ndarray  # (16384,) int32 rows per key
     pos: jnp.ndarray  # (16384,) int32 start offset per key
     id_buffer: jnp.ndarray  # (n,) A row ids grouped by key
     num_distinct: jnp.ndarray  # int32 scalar
+    packed: jnp.ndarray  # (16384,) int32: (pos << 12) | min(cnt, 4095)
+    packed_ok: jnp.ndarray  # bool scalar: all counts < 2^12
 
 
 _RANGE = 1 << 14
@@ -211,7 +218,13 @@ def build_dense(
     ids = jnp.arange(n, dtype=jnp.uint32) if row_ids is None else row_ids
     _, sid = sort_by_key(ak, ids.astype(jnp.uint32))
     num_distinct = jnp.sum((counts > 0).astype(jnp.int32))
-    return DenseCsrTable(minv, counts, pos, sid, num_distinct)
+    # pos of any nonempty key is <= n - cnt < 2^20; keys with cnt == 0 may
+    # wrap in the shift but the probe masks them via found == False
+    packed = (pos << 12) | jnp.minimum(counts, 4095)
+    packed_ok = (jnp.max(counts) < 4096) & jnp.bool_(n <= (1 << 20))
+    return DenseCsrTable(
+        minv, counts, pos, sid, num_distinct, packed, packed_ok
+    )
 
 
 @jax.jit
@@ -225,9 +238,19 @@ def probe_dense(t: DenseCsrTable, b_keys: jnp.ndarray) -> CsrProbeResult:
     k = q - t.minv
     in_range = (k < jnp.uint32(_RANGE)) & (q != hashtable.EMPTY)
     ki = jnp.where(in_range, k.astype(jnp.int32), -1)
-    planes = 3 if t.id_buffer.shape[0] < (1 << 24) else 4
-    cnt = gather_16k(t.counts, ki, planes=planes)
-    pos = gather_16k(t.pos, ki, planes=planes)
+
+    def packed_path(ki):
+        p = gather_16k(t.packed, ki, planes=4).astype(jnp.uint32)
+        return (p >> 12).astype(jnp.int32), (p & 4095).astype(jnp.int32)
+
+    def two_gather_path(ki):
+        planes = 3 if t.id_buffer.shape[0] < (1 << 24) else 4
+        return (
+            gather_16k(t.pos, ki, planes=planes),
+            gather_16k(t.counts, ki, planes=planes),
+        )
+
+    pos, cnt = jax.lax.cond(t.packed_ok, packed_path, two_gather_path, ki)
     found = in_range & (cnt > 0)
     return CsrProbeResult(
         found,

@@ -9,8 +9,10 @@ natively), so no transposes or relayouts are needed anywhere — and a single
 (128, 128) f32 accumulator in VMEM scratch integrates across the
 sequential grid. HBM traffic = read the keys once + write 64 KB.
 
-Exactness: 0/1 one-hots are exact in bf16; each f32 partial count is
-bounded by n < 2^24.
+Exactness: the plain histogram runs int8 one-hots through the int8 MXU
+path straight into an int32 accumulator (no floating-point bound at all);
+the weighted variant uses bf16 7-bit value planes with per-block-exact f32
+partials folded to int32.
 
 Semantics match histogram_16k: bin b counts keys whose uint32 value is
 b (< 2^14); keys >= 2^14 as uint32 (negatives, EMPTY-style sentinels)
@@ -48,7 +50,7 @@ def histogram_16k_pallas(k: jnp.ndarray, interpret: bool = False):
 
         @pl.when(i == 0)
         def _():
-            acc_ref[...] = jnp.zeros((128, 128), jnp.float32)
+            acc_ref[...] = jnp.zeros((128, 128), jnp.int32)
 
         base = i * block
         nn = n_ref[0]
@@ -64,22 +66,24 @@ def histogram_16k_pallas(k: jnp.ndarray, interpret: bool = False):
             hi = jnp.where(idx < nn, (row >> 7) & 0x01FFFFFF, 128)
             hi = jnp.where(row < 0, 128, hi)
             lo = row & 127
+            # int8 one-hots: the int8 MXU path is ~2x bf16 and accumulates
+            # straight into int32 (no f32 exactness bound at all)
             oh_hi = (jnp.broadcast_to(hi, (128, _W)) == sub_iota).astype(
-                jnp.bfloat16
+                jnp.int8
             )
             oh_lo = (jnp.broadcast_to(lo, (128, _W)) == sub_iota).astype(
-                jnp.bfloat16
+                jnp.int8
             )
             acc_ref[...] += jax.lax.dot_general(
                 oh_hi,
                 oh_lo,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
 
         @pl.when(i == nblocks - 1)
         def _():
-            out_ref[...] = acc_ref[...].astype(jnp.int32)
+            out_ref[...] = acc_ref[...]
 
     out = pl.pallas_call(
         kernel,
@@ -91,7 +95,7 @@ def histogram_16k_pallas(k: jnp.ndarray, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((128, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((128, 128), jnp.int32)],
         interpret=interpret,
     )(n_arr, k2)
     return out.reshape(-1)

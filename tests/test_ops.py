@@ -226,6 +226,19 @@ class TestDenseCsrJoin:
             A[:500], B
         )
 
+    def test_heavy_key_unpacked_fallback(self, rng):
+        # one key holds 5000 rows (count >= 2^12): packed_ok is False and
+        # the probe must take the two-gather path with identical results
+        A = np.concatenate(
+            [np.full(5000, 7, np.uint32),
+             rng.integers(1, 100, 1000).astype(np.uint32)]
+        )
+        B = rng.integers(1, 100, 500).astype(np.uint32)
+        t = csr_join.build_dense(jnp.asarray(A))
+        assert not bool(t.packed_ok)
+        res = csr_join.probe_dense(t, jnp.asarray(B))
+        assert csr_join.join_id_sets(t, res) == csr_join.oracle_id_sets(A, B)
+
     def test_dense_applicable(self, rng):
         assert not csr_join.dense_applicable(
             np.array([1], np.uint32), np.array([1 << 20], np.uint32)
