@@ -79,8 +79,8 @@ def filter_sparse(
     threshold=DEFAULT_THRESHOLD,
     capacity: int | None = None,
     chunk: int = 128,
-    cap_mc: int = 512,
-    cap_single: int = 32768,
+    cap_mc: int | None = None,
+    cap_single: int | None = None,
     interpret: bool = False,
 ):
     """Sparsity-adaptive copy_if → (out, count).
@@ -117,6 +117,13 @@ def filter_sparse(
     n = x.shape[0]
     if capacity is None:
         capacity = n
+    if cap_mc is None:
+        # expected multi-match chunks at benchmark selectivity s=4e-4 is
+        # (chunk·s)²/2 per chunk ≈ n/2^17; scale caps with n so the fast
+        # path holds across the reference's sweep sizes (up to 2^27 rows)
+        cap_mc = max(512, n >> 15)
+    if cap_single is None:
+        cap_single = max(32768, n >> 9)
     on_accel = jax.default_backend() != "cpu"
 
     pad = (-n) % chunk

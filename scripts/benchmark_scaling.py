@@ -66,12 +66,15 @@ def main(argv=None) -> int:
         A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
         B = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
         cap = max(256, (args.rows_per_chip // max(n_chips, 1)) * 4)
+        from dwarf_bench_tpu.ops.csr_join import dense_applicable
+
         jfn = dist_csr_join(
             mesh,
             rows_per_chip=args.rows_per_chip,
             distinct_cap=n_chips * cap,
             ht_size=2 * n_chips * cap,
             shuffle_capacity=cap,
+            dense=dense_applicable(A, B),
         )
         da, db = shard_rows(mesh, A, B)
         counts, local_totals, total, overflow = jfn(da, db)
