@@ -94,36 +94,50 @@ def groupby_sum_matmul_bf16(
     return jnp.sum(partials, axis=0, dtype=jnp.int32).astype(jnp.uint32)
 
 
+def _hi_bins_for(num_groups: int) -> int:
+    """Smallest power-of-two sublane width covering num_groups/128 hi
+    digits (multiple of 8 for sublane tiling)."""
+    hb = -(-num_groups // 128)
+    return max(8, 1 << (hb - 1).bit_length())
+
+
 @partial(jax.jit, static_argnames=("num_groups",))
 def groupby_sum_2level(
     keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int
 ):
-    """MXU group-by for 4096 < G <= 16384 via the two-level (hi/lo 7-bit
-    digit) weighted histogram: sums[h, l] = Σ_t v_plane[t]·oh_hi·oh_lo with
+    """MXU group-by for 4096 < G <= 65536 (the BASELINE.json GroupBy config
+    has 2^16 distinct keys) via the two-level (hi digit / lo 7-bit digit)
+    weighted histogram: sums[h, l] = Σ_t v_plane[t]·oh_hi·oh_lo with
     values split into two 7-bit bf16 planes (exact for v < 2^14). Pallas
     fused kernel on accelerators, per-tile XLA formulation on CPU."""
-    assert num_groups <= 1 << 14
+    assert num_groups <= 1 << 16
+    hi_bins = _hi_bins_for(num_groups)
     if jax.default_backend() != "cpu":
-        from .hist_pallas import weighted_histogram_16k_pallas
+        from .hist_pallas import weighted_histogram_pallas
 
-        sums = weighted_histogram_16k_pallas(
-            keys.astype(jnp.int32), vals.astype(jnp.int32)
+        sums = weighted_histogram_pallas(
+            keys.astype(jnp.int32), vals.astype(jnp.int32), hi_bins=hi_bins
         )
         return sums[:num_groups].astype(jnp.uint32)
 
     n = keys.shape[0]
     pad = (-n) % _BF16_TILE
     k = jnp.pad(keys.astype(jnp.int32), (0, pad),
-                constant_values=np.int32(1 << 14))
+                constant_values=np.int32(hi_bins * 128))
     v = jnp.pad(vals.astype(jnp.int32), (0, pad))
     kt = k.reshape(-1, _BF16_TILE)
     vt = v.reshape(-1, _BF16_TILE)
-    cols = jnp.arange(128, dtype=jnp.int32)
+    cols_hi = jnp.arange(hi_bins, dtype=jnp.int32)
+    cols_lo = jnp.arange(128, dtype=jnp.int32)
 
     def tile_partial(kt_i, vt_i):
-        oh_hi = ((kt_i >> 7)[:, None] == cols[None, :]).astype(jnp.bfloat16)
-        oh_lo = ((kt_i & 127)[:, None] == cols[None, :]).astype(jnp.bfloat16)
-        out = jnp.zeros((128, 128), jnp.int32)
+        oh_hi = ((kt_i >> 7)[:, None] == cols_hi[None, :]).astype(
+            jnp.bfloat16
+        )
+        oh_lo = ((kt_i & 127)[:, None] == cols_lo[None, :]).astype(
+            jnp.bfloat16
+        )
+        out = jnp.zeros((hi_bins, 128), jnp.int32)
         for shift in (0, 7):
             vp = ((vt_i >> shift) & 0x7F).astype(jnp.bfloat16)
             s = jax.lax.dot_general(
@@ -173,12 +187,12 @@ def groupby_sum_scatter(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
 def groupby_sum(keys, vals, num_groups: int, vals_below_2p14: bool = False):
     """Dispatch: MXU one-hot path for small group counts (bf16 planes when
     the caller guarantees values < 2^14), two-level MXU weighted histogram
-    up to 2^14 groups, sort path beyond."""
+    up to 2^16 groups, sort path beyond."""
     if num_groups <= 4096:
         if vals_below_2p14:
             return groupby_sum_matmul_bf16(keys, vals, num_groups)
         return groupby_sum_matmul(keys, vals, num_groups)
-    if num_groups <= (1 << 14) and vals_below_2p14:
+    if num_groups <= (1 << 16) and vals_below_2p14:
         return groupby_sum_2level(keys, vals, num_groups)
     return groupby_sum_sorted(keys, vals, num_groups)
 

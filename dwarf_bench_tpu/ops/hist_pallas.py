@@ -101,22 +101,28 @@ def histogram_16k_pallas(k: jnp.ndarray, interpret: bool = False):
     return out.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def weighted_histogram_16k_pallas(
-    k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+@partial(jax.jit, static_argnames=("hi_bins", "interpret"))
+def weighted_histogram_pallas(
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    hi_bins: int = 128,
+    interpret: bool = False,
 ):
-    """(16384,) int32 per-bin sums of ``v`` — the MXU group-by engine for
-    up to 2^14 groups. PRECONDITION: 0 <= v < 2^14 (the benchmark's uniform
-    [1, 10000] value columns): v splits into two 7-bit planes, each exact in
-    bf16; Y_plane = onehot_hi * v_plane rides the same lanes-contraction
-    matmul as the histogram (sums[h, l] = Σ_t v_plane[t]·oh_hi·oh_lo).
+    """(hi_bins * 128,) int32 per-bin sums of ``v`` — the MXU group-by
+    engine for up to hi_bins * 128 groups (hi_bins <= 512 -> 2^16 groups,
+    the BASELINE.json GroupBy config). PRECONDITION: 0 <= v < 2^14 (the
+    benchmark's uniform [1, 10000] value columns): v splits into two 7-bit
+    planes, each exact in bf16; Y_plane = onehot_hi * v_plane rides the
+    same lanes-contraction matmul as the histogram
+    (sums[h, l] = \u03a3_t v_plane[t]\u00b7oh_hi\u00b7oh_lo).
 
-    Exactness: per-BLOCK f32 plane partials are ≤ 127 · 16384 < 2^21
-    (exact); each block folds lo + (hi << 7) ≤ 2^28 into an int32
+    Exactness: per-BLOCK f32 plane partials are <= 127 * 16384 < 2^21
+    (exact); each block folds lo + (hi << 7) <= 2^28 into an int32
     accumulator, which wraps mod 2^32 exactly like the reference's uint32
     aggregation (groupby/groupby.cpp:8-19). Out-of-range keys (uint32 >=
-    2^14) and padding contribute nothing.
+    hi_bins * 128) and padding contribute nothing.
     """
+    assert hi_bins % 8 == 0 and hi_bins <= 512
     n = k.shape[0]
     block = _ROWS * _W
     pad = (-n) % block
@@ -132,33 +138,34 @@ def weighted_histogram_16k_pallas(
 
         @pl.when(i == 0)
         def _():
-            acc_int[...] = jnp.zeros((128, 128), jnp.int32)
+            acc_int[...] = jnp.zeros((hi_bins, 128), jnp.int32)
 
-        blk_lo = jnp.zeros((128, 128), jnp.float32)
-        blk_hi = jnp.zeros((128, 128), jnp.float32)
+        blk_lo = jnp.zeros((hi_bins, 128), jnp.float32)
+        blk_hi = jnp.zeros((hi_bins, 128), jnp.float32)
         base = i * block
         nn = n_ref[0]
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (hi_bins, _W), 0)
         for r in range(_ROWS):
             row = k_ref[r, :].reshape(1, _W)
             val = v_ref[r, :].reshape(1, _W)
             idx = base + r * _W + jax.lax.broadcasted_iota(
                 jnp.int32, (1, _W), 1
             )
-            hi = jnp.where(idx < nn, (row >> 7) & 0x01FFFFFF, 128)
-            hi = jnp.where(row < 0, 128, hi)
+            hi = jnp.where(idx < nn, (row >> 7) & 0x01FFFFFF, hi_bins)
+            hi = jnp.where(row < 0, hi_bins, hi)
             lo = row & 127
-            oh_hi = (jnp.broadcast_to(hi, (128, _W)) == sub_iota).astype(
+            oh_hi = (jnp.broadcast_to(hi, (hi_bins, _W)) == sub_iota).astype(
                 jnp.bfloat16
             )
-            oh_lo = (jnp.broadcast_to(lo, (128, _W)) == sub_iota).astype(
-                jnp.bfloat16
-            )
+            oh_lo = (
+                jnp.broadcast_to(lo, (128, _W))
+                == jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
+            ).astype(jnp.bfloat16)
             vlo = jnp.broadcast_to(
-                (val & 0x7F).astype(jnp.bfloat16), (128, _W)
+                (val & 0x7F).astype(jnp.bfloat16), (hi_bins, _W)
             )
             vhi = jnp.broadcast_to(
-                ((val >> 7) & 0x7F).astype(jnp.bfloat16), (128, _W)
+                ((val >> 7) & 0x7F).astype(jnp.bfloat16), (hi_bins, _W)
             )
             dims = (((1,), (1,)), ((), ()))
             blk_lo = blk_lo + jax.lax.dot_general(
@@ -170,7 +177,7 @@ def weighted_histogram_16k_pallas(
                 preferred_element_type=jnp.float32,
             )
 
-        # per-block fold: exact f32 partials (< 2^21) → int32 accumulator
+        # per-block fold: exact f32 partials (< 2^21) -> int32 accumulator
         # (wraps mod 2^32 like the reference's uint32 aggregation)
         acc_int[...] += blk_lo.astype(jnp.int32) + (
             blk_hi.astype(jnp.int32) << 7
@@ -191,8 +198,13 @@ def weighted_histogram_16k_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((128, 128), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((hi_bins, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((hi_bins, 128), jnp.int32)],
         interpret=interpret,
     )(n_arr, k2, v2)
     return out.reshape(-1)
+
+
+def weighted_histogram_16k_pallas(k, v, interpret: bool = False):
+    """Back-compat alias: 2^14 bins."""
+    return weighted_histogram_pallas(k, v, hi_bins=128, interpret=interpret)

@@ -17,16 +17,17 @@ def test_matches_xla_histogram(rng, n):
     assert got.sum() == n
 
 
-def test_weighted_matches_oracle(rng):
+@pytest.mark.parametrize("hi_bins", [8, 128, 512])
+def test_weighted_matches_oracle(rng, hi_bins):
     from dwarf_bench_tpu.ops.groupby import groupby_oracle
-    from dwarf_bench_tpu.ops.hist_pallas import weighted_histogram_16k_pallas
+    from dwarf_bench_tpu.ops.hist_pallas import weighted_histogram_pallas
 
-    n, g = 50_000, 1 << 14
+    n, g = 50_000, hi_bins * 128
     k = rng.integers(0, g, n).astype(np.int32)
     v = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
     got = np.asarray(
-        weighted_histogram_16k_pallas(
-            jnp.asarray(k), jnp.asarray(v), interpret=True
+        weighted_histogram_pallas(
+            jnp.asarray(k), jnp.asarray(v), hi_bins=hi_bins, interpret=True
         )
     ).astype(np.uint32)
     assert np.array_equal(got, groupby_oracle(k, v, g))

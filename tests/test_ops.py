@@ -125,6 +125,15 @@ class TestGroupBy:
             got = np.asarray(fn(jnp.asarray(keys), jnp.asarray(vals), G))
             assert np.array_equal(got, exp), fn.__name__
 
+    @pytest.mark.parametrize("G", [8192, 65536])
+    def test_2level_large_g(self, rng, G):
+        n = 50_000
+        keys = rng.integers(0, G, n).astype(np.uint32)
+        vals = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        got = np.asarray(groupby.groupby_sum_2level(
+            jnp.asarray(keys), jnp.asarray(vals), G))
+        assert np.array_equal(got, groupby.groupby_oracle(keys, vals, G))
+
     def test_large_group_count_dispatch(self, rng):
         G = 65536
         n = 50_000
