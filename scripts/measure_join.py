@@ -14,7 +14,7 @@ def main():
     import jax.numpy as jnp
 
     from dwarf_bench_tpu.ops import csr_join
-    from dwarf_bench_tpu.ops.mxu_gather import gather_16k
+    from dwarf_bench_tpu.ops.mxu_gather import gather_16k  # noqa: F401
     from dwarf_bench_tpu.ops.primitives import sort_by_key
     from dwarf_bench_tpu.utils.timing import time_amortized
 
