@@ -47,10 +47,12 @@ class _ScanBase(TpuDwarf):
 
 
 class TwoPassScan(_ScanBase):
-    """Explicit tiled filter (kernel structure of scan/scan.cl:3-42:
-    per-tile counts → prefix over tiles → scatter). On TPU this runs the
-    Pallas streaming-compaction kernel (ops/scan_pallas.py); on CPU the
-    XLA two-pass formulation."""
+    """Explicit two-pass filter (kernel structure of scan/scan.cl:3-42:
+    per-chunk counts → prefix over chunk counts → placement). On TPU this
+    runs the sparsity-adaptive two-phase engine (ops/scan.filter_sparse) —
+    the SAME per-chunk-count/prefix/place structure as the reference
+    kernel, with the Pallas streaming butterfly (ops/scan_pallas.py) as
+    its any-selectivity fallback; on CPU the XLA two-pass formulation."""
 
     def __init__(self):
         super().__init__("TwoPassScan")
@@ -58,9 +60,7 @@ class TwoPassScan(_ScanBase):
     def _run(self, buf_size: int, meter) -> None:
         device = self.device(meter.opts)
         if device.platform != "cpu":
-            from ..ops.scan_pallas import filter_pallas
-
-            self.filter_fn = filter_pallas
+            self.filter_fn = filter_sparse
         else:
             self.filter_fn = filter_two_pass
         super()._run(buf_size, meter)

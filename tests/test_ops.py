@@ -286,3 +286,12 @@ class TestJoinHelpers:
             np.array([9], np.uint32), np.array([9], np.uint32),
         )
         assert out.shape[0] == 0
+
+
+class TestReducePallas:
+    @pytest.mark.parametrize("n", [1, 1000, 524_288, 1_000_001])
+    def test_pallas_matches_oracle(self, rng, n):
+        x = rng.integers(-(2**30), 2**30, n).astype(np.int32)
+        got = int(np.asarray(red.reduce_sum_pallas(jnp.asarray(x),
+                                                   interpret=True)))
+        assert np.int32(got) == red.reduce_oracle(x)
