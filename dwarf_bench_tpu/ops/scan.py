@@ -117,6 +117,12 @@ def filter_sparse(
     n = x.shape[0]
     if capacity is None:
         capacity = n
+    if n >= (1 << 30):  # position sentinel headroom (static fallback)
+        if jax.default_backend() != "cpu":
+            from .scan_pallas import filter_pallas
+
+            return filter_pallas(x, threshold, capacity=capacity)
+        return filter_two_pass(x, threshold, capacity=capacity)
     if cap_mc is None:
         # expected multi-match chunks at benchmark selectivity s=4e-4 is
         # (chunk·s)²/2 per chunk ≈ n/2^17; scale caps with n so the fast

@@ -13,17 +13,22 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.primitives import compact
+from ..ops.scan import filter_sparse
 from .mesh import ROW_AXIS
 
 
 def dist_filter(mesh: Mesh, threshold: int, capacity_per_chip: int):
     """Returns jitted fn(x_rowsharded) → (per-chip compacted buffers
-    [row-sharded], per-chip counts, global exclusive offsets, total)."""
+    [row-sharded], per-chip counts, global exclusive offsets, total).
+
+    The per-chip compaction is the sparsity-adaptive engine
+    (ops/scan.filter_sparse — near read-bound at benchmark selectivity,
+    butterfly fallback otherwise), so the distributed filter scales the
+    single-chip hot path rather than a slower formulation."""
     n_chips = mesh.shape[ROW_AXIS]
 
     def local(x):
-        out, cnt = compact(x, x < threshold, capacity=capacity_per_chip)
+        out, cnt = filter_sparse(x, threshold, capacity=capacity_per_chip)
         # exclusive prefix of counts across chips: psum of masked counts
         idx = jax.lax.axis_index(ROW_AXIS)
         all_counts = jax.lax.all_gather(cnt, ROW_AXIS)  # (n_chips,)
