@@ -87,6 +87,69 @@ def dist_csr_join(mesh: Mesh, rows_per_chip: int, distinct_cap: int,
     )
 
 
+def dist_csr_join_ring(
+    mesh: Mesh,
+    rows_per_chip: int,
+    distinct_cap: int,
+    ht_size: int,
+    dense: bool = False,
+):
+    """Ring-pipelined distributed CSR join — the "overlap shuffle with
+    probe compute" design (SURVEY.md §7 / BASELINE.json): no hash shuffle
+    at all. Each chip builds a CSR table over ITS OWN A shard (global row
+    ids); the B shards then rotate around the 1-D ring via
+    ``lax.ppermute``, each chip probing the visiting chunk against its
+    local table and accumulating per-row match counts into a carry that
+    travels WITH the chunk. After n_chips rotations every B chunk is home
+    with its global counts. XLA schedules the next hop's ppermute
+    asynchronously against the current probe, overlapping ICI with
+    compute; per-destination capacity/overflow and key skew are
+    non-issues (any-skew robust, like a broadcast join but moving only B).
+
+    Returns (per-B-row global match counts [row-sharded], per-chip match
+    totals, global total)."""
+    n_chips = mesh.shape[ROW_AXIS]
+    perm = [(i, (i + 1) % n_chips) for i in range(n_chips)]
+
+    def local(a_keys, b_keys):
+        my = jax.lax.axis_index(ROW_AXIS).astype(jnp.uint32)
+        a_ids = my * jnp.uint32(rows_per_chip) + jnp.arange(
+            a_keys.shape[0], dtype=jnp.uint32
+        )
+        ak = a_keys.astype(jnp.uint32)
+        if dense:
+            table = csr_join.build_dense(ak, row_ids=a_ids)
+        else:
+            table = csr_join.build(
+                ak, distinct_cap, ht_size, row_ids=a_ids
+            )
+
+        bk = b_keys.astype(jnp.uint32)
+        acc = jnp.zeros(bk.shape, jnp.int32)
+        # unrolled static ring: probe the resident chunk, then rotate the
+        # (chunk, counts) pair one hop — after n_chips hops it is home
+        for _ in range(n_chips):
+            if dense:
+                res = csr_join.probe_dense(table, bk)
+            else:
+                res = csr_join.probe_merge(table, bk)
+            acc = acc + jnp.where(res.found, res.counts, 0)
+            bk = jax.lax.ppermute(bk, ROW_AXIS, perm)
+            acc = jax.lax.ppermute(acc, ROW_AXIS, perm)
+        local_matches = jnp.sum(acc)
+        total = jax.lax.psum(local_matches, ROW_AXIS)
+        return acc[None], local_matches[None], total
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS), P(ROW_AXIS)),
+            out_specs=(P(ROW_AXIS), P(ROW_AXIS), P()),
+        )
+    )
+
+
 def dist_csr_join_skew(
     mesh: Mesh,
     rows_per_chip: int,

@@ -96,6 +96,53 @@ class TestDistJoin:
         assert int(np.sum(np.asarray(overflow_d))) == 0
         assert int(np.asarray(total_d).ravel()[0]) == expected_total
 
+    @pytest.mark.parametrize("dense", [False, True])
+    def test_ring_join_matches_oracle(self, mesh, rng, dense):
+        from dwarf_bench_tpu.parallel import dist_csr_join_ring
+
+        n = 8 * 512
+        per_chip = n // N_DEV
+        A = rng.integers(1, 800, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 800, n, endpoint=True).astype(np.uint32)
+        from collections import Counter
+
+        ca, cb = Counter(A.tolist()), Counter(B.tolist())
+        expected_total = sum(ca[k] * cb.get(k, 0) for k in ca)
+        fn = dist_csr_join_ring(
+            mesh, rows_per_chip=per_chip, distinct_cap=per_chip,
+            ht_size=2 * per_chip + 2, dense=dense,
+        )
+        da, db = shard_rows(mesh, A, B)
+        counts, local_totals, total = fn(da, db)
+        assert int(np.asarray(total).ravel()[0]) == expected_total
+        # per-B-row counts are GLOBAL and in original row order
+        exp_counts = np.array([ca.get(int(k), 0) for k in B], np.int32)
+        assert np.array_equal(
+            np.asarray(counts).reshape(-1), exp_counts
+        )
+
+    def test_ring_join_extreme_skew(self, mesh, rng):
+        """One key holds half of A: the ring join needs no capacity at all
+        (the skew-breaker design — no hash shuffle, only rotation)."""
+        from dwarf_bench_tpu.parallel import dist_csr_join_ring
+
+        n = 8 * 512
+        per_chip = n // N_DEV
+        A = rng.integers(1, 100, n, endpoint=True).astype(np.uint32)
+        A[: n // 2] = 7
+        B = rng.integers(1, 100, n, endpoint=True).astype(np.uint32)
+        from collections import Counter
+
+        ca, cb = Counter(A.tolist()), Counter(B.tolist())
+        expected_total = sum(ca[k] * cb.get(k, 0) for k in ca)
+        fn = dist_csr_join_ring(
+            mesh, rows_per_chip=per_chip, distinct_cap=per_chip,
+            ht_size=2 * per_chip + 2,
+        )
+        da, db = shard_rows(mesh, A, B)
+        _, _, total = fn(da, db)
+        assert int(np.asarray(total).ravel()[0]) == expected_total
+
 
 class TestShuffle:
     def test_partition_preserves_rows(self, mesh, rng):
