@@ -49,7 +49,8 @@ def main(argv=None) -> int:
     mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
     rng = np.random.default_rng(args.seed)
 
-    results = {"groupby": {}, "join": {}, "filter": {}, "sort": {}}
+    results = {"groupby": {}, "join": {}, "join_ring": {}, "filter": {},
+               "sort": {}}
     for n_chips in mesh_sizes:
         mesh = make_mesh(n_chips)
         n = n_chips * args.rows_per_chip
@@ -92,6 +93,21 @@ def main(argv=None) -> int:
         rps = n / t
         results["filter"][n_chips] = rps
         print(json.dumps({"op": "dist_filter", "chips": n_chips,
+                          "rows": n, "rows_per_s": round(rps)}))
+
+        from dwarf_bench_tpu.parallel import dist_csr_join_ring
+
+        rfn = dist_csr_join_ring(
+            mesh,
+            rows_per_chip=args.rows_per_chip,
+            distinct_cap=args.rows_per_chip,
+            ht_size=2 * args.rows_per_chip + 2,
+            dense=dense_applicable(A, B),
+        )
+        t = time_amortized(rfn, da, db, k=4)
+        rps = n / t
+        results["join_ring"][n_chips] = rps
+        print(json.dumps({"op": "dist_csr_join_ring", "chips": n_chips,
                           "rows": n, "rows_per_s": round(rps)}))
 
         xs = rng.integers(1, 1 << 30, n).astype(np.uint32)
