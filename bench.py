@@ -95,7 +95,10 @@ def main() -> None:
         def join_fn(a, b):
             t = csr_join.build_dense(a)
             r = csr_join.probe_dense(t, b)
-            return r.pos, r.counts
+            # id_buffer must be a live output: the reference's build phase
+            # includes build_id_buffer (omnisci_hashtable.hpp:110-147), and
+            # without it XLA dead-code-eliminates the pair sort entirely
+            return r.pos, r.counts, t.id_buffer
 
         return n / _time_op(join_fn, da, db)
 

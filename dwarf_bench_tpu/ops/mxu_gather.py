@@ -32,14 +32,22 @@ _TILE = 8192
 _K = 1 << 14  # table capacity: two 7-bit digits
 
 
-@partial(jax.jit, static_argnames=("planes",))
-def gather_16k(table: jnp.ndarray, idx: jnp.ndarray, planes: int = 4):
+@partial(jax.jit, static_argnames=("planes", "plane_dtype"))
+def gather_16k(
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    planes: int = 4,
+    plane_dtype: str = "bf16",
+):
     """out[i] = table[idx[i]] for idx in [0, len(table)); out-of-range
     indices (negative or >= 2^14) return 0.
 
-    ``table``: (K,) int32/uint32, K <= 16384.  ``planes``: number of 8-bit
-    value planes to reconstruct — 4 covers any 32-bit value; callers with
-    bounded tables (e.g. positions < 2^24) can pass fewer to save matmuls.
+    ``table``: (K,) int32/uint32, K <= 16384.  ``planes``: number of value
+    planes to reconstruct; callers with bounded tables (e.g. positions
+    < 2^24) can pass fewer to save matmuls.  ``plane_dtype``: "bf16" uses
+    8-bit planes (values <= 255 exact in bf16); "int8" uses 7-bit planes on
+    the int8 MXU path (2x bf16 throughput on v5e), so ``planes`` 7-bit
+    planes cover ``7 * planes`` bits.
     """
     k = table.shape[0]
     assert k <= _K, f"table too large for MXU gather: {k}"
@@ -51,21 +59,98 @@ def gather_16k(table: jnp.ndarray, idx: jnp.ndarray, planes: int = 4):
     ip = jnp.pad(idx.astype(jnp.int32), (0, pad), constant_values=np.int32(-1))
     it = ip.reshape(-1, _TILE)
     cols = jnp.arange(128, dtype=jnp.int32)
+    if plane_dtype == "int8":
+        bits, mdt, adt = 7, jnp.int8, jnp.int32
+    else:
+        bits, mdt, adt = 8, jnp.bfloat16, jnp.float32
+    mask = (1 << bits) - 1
     plane_mats = [
-        ((t >> (8 * p)) & 0xFF).astype(jnp.bfloat16) for p in range(planes)
+        ((t >> (bits * p)) & mask).astype(mdt) for p in range(planes)
     ]
+
+    def tile_lookup(it_i):
+        hi = it_i >> 7
+        lo = it_i & 127
+        oh_hi = (hi[:, None] == cols[None, :]).astype(mdt)
+        oh_lo = (lo[:, None] == cols[None, :]).astype(adt)
+        out = jnp.zeros((_TILE,), jnp.uint32)
+        for p, mat in enumerate(plane_mats):
+            a = jnp.dot(oh_hi, mat, preferred_element_type=adt)
+            v = jnp.sum(a * oh_lo, axis=1)
+            out = out + (v.astype(jnp.uint32) << (bits * p))
+        return out
+
+    out = jax.vmap(tile_lookup)(it).reshape(-1)[:n]
+    return out.astype(table.dtype)
+
+
+@partial(jax.jit, static_argnames=("fused_f32",))
+def gather_16k_rel(
+    packed3: jnp.ndarray,
+    base128: jnp.ndarray,
+    idx: jnp.ndarray,
+    fused_f32: bool = True,
+):
+    """Bucket-relative lookup: out[i] = (base128[idx[i] >> 7],
+    packed3[idx[i]]) with packed3 values < 2^24 and base128 values < 2^24.
+    Out-of-range idx -> (0, 0).
+
+    This is the 3-plane probe layout for the dense CSR join: pos relative to
+    the 128-key bucket base fits 14 bits and the count 10, so (rel << 10 |
+    cnt) needs 24 bits instead of the 32 the absolute (pos << 12 | cnt)
+    packing needs. The bucket base rides three MXU MATVECS against the
+    hi-digit one-hot (128 MACs/elem — noise next to the 16384/plane) rather
+    than a VPU one-hot select (which measured as costly as a whole plane).
+
+    ``fused_f32=True`` folds the three 8-bit planes into ONE f32 matmul at
+    Precision.HIGHEST: identical MXU work (f32 = 3 bf16 passes) but a third
+    of the VPU select passes. Exact because every product is onehot * v with
+    v < 2^24 and the bf16x3 operand split carries 24 mantissa bits.
+    """
+    t = packed3.astype(jnp.uint32).reshape(128, 128)
+
+    n = idx.shape[0]
+    pad = (-n) % _TILE
+    ip = jnp.pad(idx.astype(jnp.int32), (0, pad), constant_values=np.int32(-1))
+    it = ip.reshape(-1, _TILE)
+    cols = jnp.arange(128, dtype=jnp.int32)
+    # ONE f32 matvec at HIGHEST precision: exact for base < 2^24 (one-hot
+    # times a bf16x3-split operand carries 24 mantissa bits), and 128
+    # MACs/elem is noise next to the 16384/plane of the table matmul
+    base_vec = base128.astype(jnp.float32)[:, None]
+    if fused_f32:
+        plane_mats = [t.astype(jnp.float32)]
+    else:
+        plane_mats = [
+            ((t >> (8 * p)) & 0xFF).astype(jnp.bfloat16) for p in range(3)
+        ]
 
     def tile_lookup(it_i):
         hi = it_i >> 7
         lo = it_i & 127
         oh_hi = (hi[:, None] == cols[None, :]).astype(jnp.bfloat16)
         oh_lo = (lo[:, None] == cols[None, :]).astype(jnp.float32)
-        out = jnp.zeros((_TILE,), jnp.uint32)
-        for p, mat in enumerate(plane_mats):
-            a = jnp.dot(oh_hi, mat, preferred_element_type=jnp.float32)
-            v = jnp.sum(a * oh_lo, axis=1)
-            out = out + (v.astype(jnp.uint32) << (8 * p))
-        return out
+        if fused_f32:
+            a = jnp.dot(
+                oh_hi.astype(jnp.float32),
+                plane_mats[0],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rel = jnp.sum(a * oh_lo, axis=1).astype(jnp.uint32)
+        else:
+            rel = jnp.zeros((_TILE,), jnp.uint32)
+            for p, mat in enumerate(plane_mats):
+                a = jnp.dot(oh_hi, mat, preferred_element_type=jnp.float32)
+                v = jnp.sum(a * oh_lo, axis=1)
+                rel = rel + (v.astype(jnp.uint32) << (8 * p))
+        b = jnp.dot(
+            oh_hi.astype(jnp.float32),
+            base_vec,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0]
+        return rel, b.astype(jnp.int32)
 
-    out = jax.vmap(tile_lookup)(it).reshape(-1)[:n]
-    return out.astype(table.dtype)
+    rel, b = jax.vmap(tile_lookup)(it)
+    return rel.reshape(-1)[:n], b.reshape(-1)[:n]

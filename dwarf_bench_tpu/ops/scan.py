@@ -72,7 +72,10 @@ _BIG = jnp.int32(0x7FFFFFFF)  # position sentinel: sorts last
 
 @partial(
     jax.jit,
-    static_argnames=("capacity", "chunk", "cap_mc", "cap_single", "interpret"),
+    static_argnames=(
+        "capacity", "chunk", "cap_mc", "cap_single", "cap_melems",
+        "interpret",
+    ),
 )
 def filter_sparse(
     x: jnp.ndarray,
@@ -81,6 +84,7 @@ def filter_sparse(
     chunk: int = 128,
     cap_mc: int | None = None,
     cap_single: int | None = None,
+    cap_melems: int | None = None,
     interpret: bool = False,
 ):
     """Sparsity-adaptive copy_if → (out, count).
@@ -90,34 +94,39 @@ def filter_sparse(
     full streaming compaction does O(log tile) vector passes per element to
     move almost nothing. This engine is near read-bound at low selectivity:
 
-      phase A (one streaming read): per-``chunk`` match counts and masked
-        value sums; exclusive cumsum of counts gives each chunk's output
-        base. A chunk with exactly ONE match needs no extraction — its
-        masked sum IS the matching value.
+      phase A (ONE fused streaming pass, ops/chunk_stats_pallas): per-128
+        chunk match counts, window-clipped match sums, and the exclusive
+        running output offset (carried across the sequential grid), with
+        the per-chunk reductions on the MXU. A chunk with exactly one
+        match inside the 255-wide window below the threshold needs no
+        second read — its value is ``threshold - vsum``.
       phase B (tiny): the rare chunks with ≥ 2 matches (expected
-        (chunk·sel)²/2 per chunk) are compacted to a ≤``cap_mc`` id list
-        (mask-driven Pallas compaction on accelerators), their contents
-        row-gathered, and per-element output positions computed in-chunk.
+        (chunk·sel)²/2 per chunk) — plus any single-match chunk whose value
+        fell outside the window — are compacted to a ≤``cap_mc`` id list,
+        row-gathered, and their elements' output positions computed
+        in-chunk; the ≤``cap_melems`` matching elements are then compacted
+        out of the gathered rows so the ordering sort stays small.
       ordering: single values (≤``cap_single``) and multi-chunk elements
-        carry explicit output positions; one small (≤41K-row) pair sort by
-        position restores global order — garbage rows carry a sentinel
-        position and sort past ``count``.
+        carry explicit output positions; one small pair sort by position
+        restores global order — garbage rows carry a sentinel position and
+        sort past ``count``. Positions are unique so the ~1.6x faster
+        unstable network is exact.
 
-    When either cap trips (higher selectivity), a ``lax.cond`` falls back to
+    When any cap trips (higher selectivity), a ``lax.cond`` falls back to
     the general butterfly compaction (filter_pallas / filter_two_pass), so
     the result is correct for EVERY selectivity; only the fast path is
     specialized. Requires n < 2^30 (position sentinel headroom).
 
-    ``chunk`` must be 128 for speed: a chunk is then exactly one vreg row,
-    so phase A's reductions are natural lane reductions (a 32-wide chunk
-    costs ~100× more in relayouts — measured 0.98 ms vs 0.009 ms at 2^24).
-    Measured at 2^24, threshold 5, v5e: 0.411 ms = 40.8 Grows/s vs 4.25 for
-    the butterfly kernel.
+    ``chunk`` must be 128 (one vreg row / the fused kernel's tile width).
     """
     n = x.shape[0]
+    assert chunk == 128, "filter_sparse chunks are one vreg row"
     if capacity is None:
         capacity = n
-    if n >= (1 << 30):  # position sentinel headroom (static fallback)
+    if x.dtype != jnp.int32 or n >= (1 << 30):
+        # the fused phase-A kernel's window arithmetic is int32 (the
+        # reference filters int columns, scan/scan.cl:3); other dtypes and
+        # huge n (position sentinel headroom) take the general engine
         if jax.default_backend() != "cpu":
             from .scan_pallas import filter_pallas
 
@@ -129,7 +138,9 @@ def filter_sparse(
         # path holds across the reference's sweep sizes (up to 2^27 rows)
         cap_mc = max(512, n >> 15)
     if cap_single is None:
-        cap_single = max(32768, n >> 9)
+        cap_single = max(16384, n >> 10)
+    if cap_melems is None:
+        cap_melems = max(4096, n >> 12)
     on_accel = jax.default_backend() != "cpu"
 
     pad = (-n) % chunk
@@ -139,42 +150,57 @@ def filter_sparse(
         tail_is_pad = jnp.arange(xp.shape[0]) >= n
         xp = jnp.where(tail_is_pad, jnp.asarray(threshold, x.dtype), xp)
     nch = xp.shape[0] // chunk
-    xc = xp.reshape(nch, chunk)
-    m = xc < threshold
-    cnt = jnp.sum(m.astype(jnp.int32), axis=1)
-    vsum = jnp.sum(jnp.where(m, xc, 0).astype(jnp.int32), axis=1)
-    base = jnp.cumsum(cnt) - cnt
+    thr_i = jnp.asarray(threshold, jnp.int32)
+    # XLA's fused row-reduction lowering beats a hand-written Pallas stats
+    # kernel here (see ops/chunk_stats.py docstring)
+    from .chunk_stats import chunk_stats_xla
+
+    stat, base = chunk_stats_xla(
+        xp.reshape(nch, chunk).astype(jnp.int32), thr_i
+    )
+    cnt = stat >> 9
+    vsw = stat & 511
     total = (base[-1] + cnt[-1]).astype(jnp.int32)
-    single = cnt == 1
-    multi = cnt >= 2
+    # in-window singles are fully described by phase A; out-of-window
+    # singles (vsw == 256 marker or a wrapped-threshold 0) join the
+    # gather path, which reads true values
+    single = (cnt == 1) & (vsw >= 1) & (vsw <= 255)
+    multi = (cnt >= 1) & ~single
     n_multi = jnp.sum(multi.astype(jnp.int32))
     n_single = jnp.sum(single.astype(jnp.int32))
-    ok = (n_single <= cap_single) & (n_multi <= cap_mc)
+    n_melems = total - n_single
+    ok = (
+        (n_single <= cap_single)
+        & (n_multi <= cap_mc)
+        & (n_melems <= cap_melems)
+        # threshold - 512 must not wrap in the window encoding
+        & (thr_i > jnp.int32(-(2**31) + 512))
+    )
+    sval = thr_i - vsw  # the match value for in-window single chunks
 
-    def sparse_branch(xp, base, vsum, single, multi):
+    def sparse_branch(xp, base, sval, single, multi):
         if on_accel:
             from .compact_pallas import compact_mask_pallas
 
-            (spos, sval), _ = compact_mask_pallas(
-                single, (base, vsum), capacity=cap_single,
-                interpret=interpret,
-            )
-            (mids,), _ = compact_mask_pallas(
-                multi, (jnp.arange(nch, dtype=jnp.int32),),
-                capacity=cap_mc, interpret=interpret,
-            )
+            def compact2(mask, vals, cap):
+                out, _ = compact_mask_pallas(
+                    mask, vals, capacity=cap, interpret=interpret
+                )
+                return out
         else:
             from .primitives import compact_multi
 
-            (spos, sval), _ = compact_multi(
-                (base, vsum), single, capacity=cap_single
-            )
-            (mids,), _ = compact_multi(
-                (jnp.arange(nch, dtype=jnp.int32),), multi, capacity=cap_mc
-            )
+            def compact2(mask, vals, cap):
+                out, _ = compact_multi(vals, mask, capacity=cap)
+                return out
+
+        spos, sv = compact2(single, (base, sval), cap_single)
         iota_s = jnp.arange(cap_single, dtype=jnp.int32)
         spos = jnp.where(iota_s < n_single, spos, _BIG)
 
+        (mids,) = compact2(
+            multi, (jnp.arange(nch, dtype=jnp.int32),), cap_mc
+        )
         iota_m = jnp.arange(cap_mc, dtype=jnp.int32)
         valid_m = iota_m < n_multi
         midsafe = jnp.where(valid_m, mids, 0)
@@ -183,16 +209,37 @@ def filter_sparse(
         grank = jnp.cumsum(gm.astype(jnp.int32), axis=1) - gm
         gpos = jnp.where(gm, base[midsafe][:, None] + grank, _BIG)
 
-        all_pos = jnp.concatenate([spos, gpos.reshape(-1)])
-        all_val = jnp.concatenate(
-            [sval, rows.reshape(-1).astype(jnp.int32)]
+        # compact the ≤cap_melems real matches out of the gathered rows so
+        # the ordering sort is over caps ~25x smaller than cap_mc * chunk
+        mpos, mval = compact2(
+            gm.reshape(-1),
+            (gpos.reshape(-1), rows.reshape(-1).astype(jnp.int32)),
+            cap_melems,
         )
-        _, sv = jax.lax.sort((all_pos, all_val), num_keys=1)
+        iota_e = jnp.arange(cap_melems, dtype=jnp.int32)
+        mpos = jnp.where(iota_e < n_melems, mpos, _BIG)
+
+        all_pos = jnp.concatenate([spos, mpos])
+        all_val = jnp.concatenate([sv, mval])
+        # valid positions are unique (one output slot each) and sentinel
+        # rows are garbage, so the unstable network (~1.6x faster) is exact
+        _, svals = jax.lax.sort(
+            (all_pos, all_val), num_keys=1, is_stable=False
+        )
         k = min(capacity, all_val.shape[0])
-        out = jnp.zeros((capacity,), jnp.int32).at[:k].set(sv[:k])
+        if on_accel:
+            from .compact_pallas import emit_prefix_pallas
+
+            # leaves out[k:] untouched — garbage past count by contract,
+            # saving the O(capacity) zero-fill
+            out = emit_prefix_pallas(
+                svals[:k], capacity, interpret=interpret
+            )
+        else:
+            out = jnp.zeros((capacity,), jnp.int32).at[:k].set(svals[:k])
         return out.astype(x.dtype), total
 
-    def general_branch(xp, base, vsum, single, multi):
+    def general_branch(xp, base, sval, single, multi):
         if on_accel:
             from .scan_pallas import filter_pallas
 
@@ -204,7 +251,7 @@ def filter_sparse(
         return out.astype(x.dtype), c
 
     return jax.lax.cond(
-        ok, sparse_branch, general_branch, xp, base, vsum, single, multi
+        ok, sparse_branch, general_branch, xp, base, sval, single, multi
     )
 
 

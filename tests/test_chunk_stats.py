@@ -1,0 +1,55 @@
+"""Phase-A chunk statistics (window encoding) vs a numpy oracle, plus the
+uninitialized-prefix emit kernel."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+from dwarf_bench_tpu.ops.compact_pallas import emit_prefix_pallas
+
+
+def oracle(x2, thr):
+    m = x2 < thr
+    cnt = m.sum(1)
+    d = thr - np.maximum(x2.astype(np.int64), thr - 512)
+    vclip = np.clip(d, 0, 256)
+    vs = np.minimum(vclip.sum(1), 511)
+    stat = cnt * 512 + vs
+    base = np.cumsum(cnt) - cnt
+    return stat.astype(np.int32), base.astype(np.int32)
+
+
+@pytest.mark.parametrize("nch,thr", [(256, 5), (1024, 5000), (300, -100)])
+def test_stats_match_oracle(rng, nch, thr):
+    x2 = rng.integers(-10000, 10000, (nch, 128)).astype(np.int32)
+    stat, base = chunk_stats_xla(jnp.asarray(x2), thr)
+    est, eb = oracle(x2, thr)
+    assert np.array_equal(np.asarray(stat), est)
+    assert np.array_equal(np.asarray(base), eb)
+
+
+def test_window_encoding_cases():
+    # one chunk per case: single in-window, single below-window (marker
+    # 256 -> vsum == 256), multi, empty
+    thr = 5
+    rows = np.full((4, 128), 10000, np.int32)
+    rows[0, 7] = 3  # in window: vsum = 2
+    rows[1, 3] = -5000  # below window: vsum = 256
+    rows[2, 1] = 1
+    rows[2, 2] = 4
+    stat, base = chunk_stats_xla(jnp.asarray(rows), thr)
+    stat = np.asarray(stat)
+    cnt, vsw = stat >> 9, stat & 511
+    assert list(cnt) == [1, 1, 2, 0]
+    assert vsw[0] == 2 and thr - vsw[0] == 3
+    assert vsw[1] == 256
+    assert np.array_equal(np.asarray(base), [0, 1, 2, 4])
+
+
+@pytest.mark.parametrize("l,cap", [(100, 1000), (128, 128), (37, 40)])
+def test_emit_prefix(rng, l, cap):
+    v = rng.integers(-(2**31), 2**31, l).astype(np.int32)
+    out = np.asarray(emit_prefix_pallas(jnp.asarray(v), cap, interpret=True))
+    assert out.shape == (cap,)
+    assert np.array_equal(out[:l], v)

@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from dwarf_bench_tpu.ops.mxu_gather import gather_16k
+from dwarf_bench_tpu.ops.mxu_gather import gather_16k, gather_16k_rel
 
 
 @pytest.mark.parametrize("k,n", [(7, 100), (16384, 10_000), (5000, 8192)])
@@ -13,6 +13,41 @@ def test_gather_matches_indexing(rng, k, n):
     idx = rng.integers(0, k, n).astype(np.int32)
     got = np.asarray(gather_16k(jnp.asarray(table), jnp.asarray(idx)))
     assert np.array_equal(got, table[idx])
+
+
+@pytest.mark.parametrize("k,n", [(16384, 10_000), (777, 2048)])
+def test_gather_int8_planes(rng, k, n):
+    # 5 x 7-bit planes cover any 32-bit value on the int8 MXU path
+    table = rng.integers(0, 2**32, k, dtype=np.uint64).astype(np.uint32)
+    idx = rng.integers(0, k, n).astype(np.int32)
+    got = np.asarray(
+        gather_16k(jnp.asarray(table), jnp.asarray(idx), planes=5,
+                   plane_dtype="int8")
+    )
+    assert np.array_equal(got, table[idx])
+
+
+@pytest.mark.parametrize("n", [100, 10_000])
+@pytest.mark.parametrize("fused", [True, False])
+def test_gather_rel_matches_indexing(rng, n, fused):
+    # full 24-bit range on both tables (the layout's exactness bound)
+    packed3 = rng.integers(0, 1 << 24, 16384).astype(np.uint32)
+    packed3[:4] = [0, 1, (1 << 24) - 1, (1 << 24) - 2]
+    base = rng.integers(0, 1 << 24, 128).astype(np.int32)
+    base[:2] = [(1 << 24) - 1, 0]
+    idx = np.concatenate(
+        [rng.integers(0, 16384, n - 2).astype(np.int32),
+         np.array([-1, 16500], np.int32)]
+    )
+    rel, b = gather_16k_rel(
+        jnp.asarray(packed3), jnp.asarray(base), jnp.asarray(idx),
+        fused_f32=fused,
+    )
+    rel, b = np.asarray(rel), np.asarray(b)
+    ok = (idx >= 0) & (idx < 16384)
+    assert np.array_equal(rel[ok], packed3[idx[ok]])
+    assert np.array_equal(b[ok], base[idx[ok] >> 7])
+    assert np.all(rel[~ok] == 0) and np.all(b[~ok] == 0)
 
 
 def test_out_of_range_returns_zero(rng):

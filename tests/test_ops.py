@@ -244,7 +244,41 @@ class TestDenseCsrJoin:
         )
         B = rng.integers(1, 100, 500).astype(np.uint32)
         t = csr_join.build_dense(jnp.asarray(A))
-        assert not bool(t.packed_ok)
+        assert not bool(t.packed_ok) and not bool(t.packed3_ok)
+        res = csr_join.probe_dense(t, jnp.asarray(B))
+        assert csr_join.join_id_sets(t, res) == csr_join.oracle_id_sets(A, B)
+
+    def test_mid_count_packed4_fallback(self, rng):
+        # counts in [2^10, 2^12): the 3-plane layout is out (cnt >= 1024)
+        # but the absolute 4-plane packing still applies
+        A = np.concatenate(
+            [np.full(2000, 42, np.uint32),
+             rng.integers(1, 100, 1000).astype(np.uint32)]
+        )
+        B = rng.integers(1, 100, 500).astype(np.uint32)
+        t = csr_join.build_dense(jnp.asarray(A))
+        assert bool(t.packed_ok) and not bool(t.packed3_ok)
+        res = csr_join.probe_dense(t, jnp.asarray(B))
+        assert csr_join.join_id_sets(t, res) == csr_join.oracle_id_sets(A, B)
+
+    def test_rel_overflow_packed4_fallback(self, rng):
+        # 20000 rows over one 128-key bucket: every count < 1024 but the
+        # bucket-relative offsets exceed 2^14, so packed3_ok must trip
+        A = rng.integers(0, 128, 20000).astype(np.uint32) + 1000
+        B = rng.integers(900, 1300, 500).astype(np.uint32)
+        t = csr_join.build_dense(jnp.asarray(A))
+        assert not bool(t.packed3_ok) and bool(t.packed_ok)
+        assert int(np.asarray(t.counts).max()) < 1024
+        res = csr_join.probe_dense(t, jnp.asarray(B))
+        assert csr_join.join_id_sets(t, res) == csr_join.oracle_id_sets(A, B)
+
+    def test_benchmark_shape_uses_rel_path(self, rng):
+        # the headline config ([1, 10000] uniform) must qualify for the
+        # 3-plane bucket-relative probe
+        A = rng.integers(1, 10000, 1 << 15, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 10000, 1 << 14, endpoint=True).astype(np.uint32)
+        t = csr_join.build_dense(jnp.asarray(A))
+        assert bool(t.packed3_ok)
         res = csr_join.probe_dense(t, jnp.asarray(B))
         assert csr_join.join_id_sets(t, res) == csr_join.oracle_id_sets(A, B)
 
