@@ -156,8 +156,10 @@ def groupby_sum_2level(
 @partial(jax.jit, static_argnames=("num_groups",))
 def groupby_sum_sorted(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
     n = keys.shape[0]
+    # unstable: per-group sums are order-independent (mod-2^32 adds commute)
     sk, sv = jax.lax.sort(
-        (keys.astype(jnp.int32), vals.astype(jnp.int32)), num_keys=1
+        (keys.astype(jnp.int32), vals.astype(jnp.int32)), num_keys=1,
+        is_stable=False,
     )
     cs = jnp.cumsum(sv, dtype=jnp.int32)  # wraps mod 2^32 like uint32
     # segment sum = cumsum at segment end − cumsum before segment start;
