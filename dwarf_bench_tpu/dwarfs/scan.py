@@ -21,6 +21,36 @@ from ..ops.scan import (
 from .base import TpuDwarf
 
 
+def _outputs_equal(out, expected, c: int, device) -> bool:
+    """Oracle compare (scan.cpp:157-164). Device→host transfers over the
+    tunneled chip run at ~MB/s, so for large outputs the exact readback is
+    replaced by device-side position-weighted checksums (sum, sum·(i+1),
+    sum·(i+1)² — all mod 2^32), which detect any value or ordering
+    difference with overwhelming probability; small outputs (and CPU runs)
+    keep the exact element-wise compare."""
+    if c <= (1 << 16) or device.platform == "cpu":
+        # slice ON DEVICE so only c elements cross the tunnel, not the
+        # whole capacity-sized buffer
+        return bool(np.array_equal(np.asarray(out[:c]), expected))
+    import jax.numpy as jnp
+
+    o = out[:c].astype(jnp.uint32)
+    w = jnp.arange(1, c + 1, dtype=jnp.uint32)
+    got = np.asarray(
+        jnp.stack([jnp.sum(o), jnp.sum(o * w), jnp.sum(o * w * w)])
+    )
+    e = expected.astype(np.uint32)
+    we = np.arange(1, c + 1, dtype=np.uint32)
+    want = np.stack(
+        [
+            np.sum(e, dtype=np.uint32),
+            np.sum(e * we, dtype=np.uint32),
+            np.sum(e * we * we, dtype=np.uint32),
+        ]
+    )
+    return bool(np.array_equal(got, want))
+
+
 class _ScanBase(TpuDwarf):
     filter_fn = staticmethod(filter_xla)
 
@@ -40,8 +70,8 @@ class _ScanBase(TpuDwarf):
             _, kernel_time = self.timed(fn, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
             c = int(cnt)
-            result.valid = c == len(expected) and np.array_equal(
-                np.asarray(out)[:c], expected
+            result.valid = c == len(expected) and _outputs_equal(
+                out, expected, c, device
             )
             meter.add_result({"buf_size": str(buf_size)}, result)
 
