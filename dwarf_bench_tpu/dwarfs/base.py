@@ -80,3 +80,111 @@ class TpuDwarf(Dwarf):
         dev = tuple(jax.device_put(a, device) for a in host_arrays)
         res = sync(fn(*dev))
         return res, dev, time.perf_counter() - t0
+
+
+# -- tunnel-friendly validation helpers ---------------------------------
+#
+# Device→host transfers on the tunneled chip run at ~MB/s, so validations
+# must never ship O(n) arrays to the host at benchmark sizes. Reductions
+# happen on device; large array compares go through position-weighted /
+# multiset checksums (mod-2^32 sums that detect any difference with
+# overwhelming probability). CPU runs and small outputs keep exact
+# element-wise compares — the CPU test suite therefore always exercises
+# the exact path, and tests/test_dwarfs_e2e covers the checksum helpers
+# directly.
+
+_EXACT_LIMIT = 1 << 16
+
+
+def all_true_on_device(flags) -> bool:
+    """all(flags) with only a scalar crossing the device boundary."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    return bool(np.asarray(jnp.all(flags)))
+
+
+def _multiset_sums_host(e):
+    import numpy as np
+
+    e = np.asarray(e, np.uint32)
+    return np.stack(
+        [
+            np.uint32(len(e) & 0xFFFFFFFF),
+            np.sum(e, dtype=np.uint32),
+            np.sum(e * e, dtype=np.uint32),
+            np.sum(e * e * e, dtype=np.uint32),
+        ]
+    )
+
+
+def sorted_equal_on_device(out, expected, force_checksum=False) -> bool:
+    """out (device) == expected (host, sorted ascending): exact readback for
+    small/CPU outputs; otherwise device-side sortedness + order-independent
+    multiset checksums (count, Σx, Σx², Σx³ mod 2^32)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = out.shape[0]
+    if not force_checksum and (
+        n <= _EXACT_LIMIT or out.devices().pop().platform == "cpu"
+    ):
+        return bool(np.array_equal(np.asarray(out), expected))
+    o = out.astype(jnp.uint32)
+    nondec = jnp.all(out[1:] >= out[:-1])
+    sums = jnp.stack(
+        [
+            jnp.uint32(n & 0xFFFFFFFF),
+            jnp.sum(o),
+            jnp.sum(o * o),
+            jnp.sum(o * o * o),
+        ]
+    )
+    if not bool(np.asarray(nondec)):
+        return False
+    return bool(np.array_equal(np.asarray(sums), _multiset_sums_host(expected)))
+
+
+def rows_equal_on_device(cols, count, expected_rows,
+                         force_checksum=False) -> bool:
+    """Order-insensitive compare of a device row set (tuple of columns +
+    valid count) against host ``expected_rows`` (r, ncols) — the TPU analog
+    of the reference's sorted row compare (join/join_helpers.hpp:86-125).
+    Small/CPU: exact via host sort. Large: multiset checksum over a mixed
+    row hash (mod-2^32), order-free on both sides."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    c = int(count)
+    expected_rows = np.asarray(expected_rows, np.uint64)
+    if c != len(expected_rows):
+        return False
+    n = cols[0].shape[0]
+    on_cpu = cols[0].devices().pop().platform == "cpu"
+    if not force_checksum and (c <= _EXACT_LIMIT or on_cpu):
+        got = np.stack(
+            [np.asarray(col[:c]).astype(np.uint64) for col in cols], axis=1
+        )
+        order = np.lexsort(got.T[::-1])
+        eorder = np.lexsort(expected_rows.T[::-1])
+        return bool(np.array_equal(got[order], expected_rows[eorder]))
+
+    # mixing constants (odd -> bijective mod 2^32 per column term)
+    mix = (2654435761, 2246822519, 3266489917, 668265263)
+    valid = jnp.arange(n) < count
+
+    h = jnp.zeros((n,), jnp.uint32)
+    for j, col in enumerate(cols):
+        v = col.astype(jnp.uint32)
+        h = h + v * jnp.uint32(mix[j % 4]) + (v ^ (v >> 7))
+    hv = jnp.where(valid, h, 0)
+    sums = jnp.stack([jnp.sum(hv), jnp.sum(hv * hv)])
+
+    eh = np.zeros((len(expected_rows),), np.uint32)
+    for j in range(expected_rows.shape[1]):
+        v = expected_rows[:, j].astype(np.uint32)
+        eh = eh + v * np.uint32(mix[j % 4]) + (v ^ (v >> np.uint32(7)))
+    esums = np.stack(
+        [np.sum(eh, dtype=np.uint32), np.sum(eh * eh, dtype=np.uint32)]
+    )
+    return bool(np.array_equal(np.asarray(sums), esums))

@@ -20,7 +20,7 @@ from ..common.datagen import derive_seed, make_random, make_unique_random
 from ..common.result import Result
 from ..ops import bucket_hash, cuckoo, hashtable
 from ..ops.hashing import murmur3_32, simple_hash
-from .base import TpuDwarf, block
+from .base import TpuDwarf, block, all_true_on_device
 
 
 @partial(jax.jit, static_argnames=("ht_size",))
@@ -72,7 +72,7 @@ class HashBuild(TpuDwarf):
             )
             _, kernel_time = self.timed(fn, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
-            result.valid = bool(np.all(np.asarray(found)))
+            result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)
 
 
@@ -94,7 +94,7 @@ class HashBuildNonBitmask(TpuDwarf):
             )
             _, kernel_time = self.timed(fn, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
-            result.valid = bool(np.all(np.asarray(found)))
+            result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)
 
 
@@ -134,7 +134,7 @@ class CuckooHashBuild(TpuDwarf):
             host_time = time.perf_counter() - t0
             found, kernel_time = self.timed(cuckoo.has, table, dev_keys)
             result = Result(host_time=host_time, kernel_time=kernel_time)
-            result.valid = bool(np.all(np.asarray(found)))
+            result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)
 
 
@@ -165,5 +165,5 @@ class SlabHashBuild(TpuDwarf):
             _, kernel_time = self.timed(build, *dev)
             found, _ = block(bucket_hash.find(table, dev[0]))
             result = Result(host_time=host_time, kernel_time=kernel_time)
-            result.valid = bool(np.all(np.asarray(found)))
+            result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)

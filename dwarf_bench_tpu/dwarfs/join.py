@@ -23,7 +23,7 @@ from .. import native
 from ..ops import bucket_hash, csr_join
 from ..ops import join as join_ops
 from ..ops.primitives import compact_multi
-from .base import TpuDwarf, block
+from .base import TpuDwarf, block, rows_equal_on_device
 
 import jax
 import jax.numpy as jnp
@@ -63,9 +63,8 @@ class Join(TpuDwarf):
                 build_time=t_build - t0,
                 probe_time=t_end - t_build,
             )
-            result.valid = np.array_equal(
-                join_ops.join_rows_sorted(res).astype(np.uint64),
-                expected.astype(np.uint64),
+            result.valid = rows_equal_on_device(
+                (res.keys, res.a_vals, res.b_vals), res.count, expected
             )
             meter.add_result({"buf_size": str(buf_size)}, result)
 
@@ -93,9 +92,8 @@ class NestedLoopJoin(TpuDwarf):
             result = HashJoinResult(
                 host_time=host_time, kernel_time=kernel_time
             )
-            result.valid = np.array_equal(
-                join_ops.join_rows_sorted(res).astype(np.uint64),
-                expected.astype(np.uint64),
+            result.valid = rows_equal_on_device(
+                (res.keys, res.a_vals, res.b_vals), res.count, expected
             )
             meter.add_result({"buf_size": str(buf_size)}, result)
 
@@ -200,8 +198,7 @@ class SlabJoin(TpuDwarf):
                 build_time=t_build - t0,
                 probe_time=t_end - t_build,
             )
-            result.valid = np.array_equal(
-                join_ops.join_rows_sorted(res).astype(np.uint64),
-                expected.astype(np.uint64),
+            result.valid = rows_equal_on_device(
+                (res.keys, res.a_vals, res.b_vals), res.count, expected
             )
             meter.add_result({"buf_size": str(buf_size)}, result)

@@ -9,7 +9,7 @@ import numpy as np
 from ..common.datagen import derive_seed, make_unique_random
 from ..common.result import Result
 from ..ops import bucket_hash
-from .base import TpuDwarf, block
+from .base import TpuDwarf, block, all_true_on_device
 
 
 class SlabProbe(TpuDwarf):
@@ -34,5 +34,5 @@ class SlabProbe(TpuDwarf):
             )
             _, kernel_time = self.timed(bucket_hash.find, table, dev_keys)
             result = Result(host_time=host_time, kernel_time=kernel_time)
-            result.valid = bool(np.all(np.asarray(found)))
+            result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)

@@ -14,7 +14,7 @@ from ..common.datagen import derive_seed, make_random
 from ..common.options import DeviceType
 from ..common.result import Result
 from ..ops.sort import sort_auto, sort_oracle
-from .base import TpuDwarf
+from .base import TpuDwarf, sorted_equal_on_device
 
 
 class Radix(TpuDwarf):
@@ -37,7 +37,7 @@ class Radix(TpuDwarf):
             )
             _, kernel_time = self.timed(sort_auto, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
-            result.valid = np.array_equal(np.asarray(out), expected)
+            result.valid = sorted_equal_on_device(out, expected)
             meter.add_result({"buf_size": str(buf_size)}, result)
 
 
