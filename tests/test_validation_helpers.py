@@ -58,3 +58,31 @@ def test_rows_equal_checksum(rng):
     # count mismatch
     assert not rows_equal_on_device(cols, jnp.asarray(np.int32(r - 1)),
                                     expected, force_checksum=True)
+
+
+def test_validate_csr_join_large(rng):
+    import jax.numpy as jnp
+
+    from dwarf_bench_tpu.dwarfs.join import _validate_csr_join_large
+    from dwarf_bench_tpu.ops import csr_join
+
+    n = 70000
+    A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    B = rng.integers(1, 12000, n, endpoint=True).astype(np.uint32)
+    da = jnp.asarray(A)
+    t = csr_join.build_dense(da)
+    res = csr_join.probe_dense(t, jnp.asarray(B))
+    assert _validate_csr_join_large(A, B, da, t, res)
+
+    # corrupt one probe position
+    bad = csr_join.CsrProbeResult(
+        res.found, res.pos.at[17].add(jnp.where(res.found[17], 1, 0)),
+        res.counts,
+    )
+    bad_or_miss = _validate_csr_join_large(A, B, da, t, bad)
+    assert (not bad_or_miss) or not bool(res.found[17])
+
+    # corrupt the id_buffer grouping
+    t2 = t._replace(
+        id_buffer=t.id_buffer.at[0].set(t.id_buffer[n - 1]))
+    assert not _validate_csr_join_large(A, B, da, t2, res)
