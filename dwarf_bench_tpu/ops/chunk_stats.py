@@ -38,7 +38,15 @@ import jax.numpy as jnp
 
 
 def chunk_stats_xla(x2: jnp.ndarray, threshold):
-    """x2: (nch, 128) int32. Returns (stat, base): (nch,) int32 each."""
+    """x2: (nch, 128) int32. Returns (stat, base): (nch,) int32 each.
+
+    Keep the two separate row reductions: XLA multi-output fusion already
+    computes both in one pass, and packing them into ONE reduction via
+    per-element ``(m << 16) + vclip`` measured 7x SLOWER standalone and
+    regressed the full filter 0.28 -> 0.31 ms at 2^24 on v5e
+    (scripts/measure_stats_fusion.py) — the wide-constant add defeats the
+    cheap mask-sum lowering.
+    """
     thr = jnp.asarray(threshold, jnp.int32)
     m = x2 < thr
     cnt = jnp.sum(m.astype(jnp.int32), axis=1)
