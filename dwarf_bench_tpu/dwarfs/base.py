@@ -6,10 +6,15 @@ Timing methodology mirrors the reference (BASELINE.md "Timing methodology"):
 host→device transfer that SYCL buffers perform lazily inside the timed
 region and — on iteration 0 — the JIT compile, exactly like SYCL's kernel
 JIT (the analysis convention drops the slowest iteration,
-scripts/report-sample.ipynb). ``kernel_time`` is a compute-only re-run with
-device-resident inputs (the analog of OpenCL event profiling,
+scripts/report-sample.ipynb). ``kernel_time`` is a compute-only measurement
+with device-resident inputs (the analog of OpenCL event profiling,
 scan/scan.cpp:142-154), populated for every dwarf here rather than only
-TwoPassScan.
+TwoPassScan. It uses queue-k amortized timing (utils/timing.time_amortized):
+a single timed call includes one dispatch plus the scalar-fence roundtrip,
+which at small sizes measures tunnel latency, not the kernel. The amortized
+number is measured once per (dwarf, size) and reported on every iteration
+row — the kernel time of a fixed program on fixed shapes is
+iteration-invariant.
 """
 
 from __future__ import annotations
@@ -22,7 +27,7 @@ import jax
 from ..common.dwarf import Dwarf
 from ..common.device import resolve_device
 from ..common.options import RunOptions, to_string
-from ..utils.timing import sync
+from ..utils.timing import sync, time_amortized
 
 
 def block(tree):
@@ -71,6 +76,21 @@ class TpuDwarf(Dwarf):
         t0 = time.perf_counter()
         res = sync(fn(*args))
         return res, time.perf_counter() - t0
+
+    def kernel_timed(self, cache_key, fn: Callable, *args):
+        """(result, amortized device seconds) for the CSV kernel_time
+        column. Queue-k timing (utils/timing.time_amortized) — at small
+        sizes a single fenced call measures the tunnel roundtrip, not the
+        kernel. Measured once per (dwarf instance, cache_key) and reused
+        across iterations; the result is re-executed each call so callers
+        that consume it (e.g. cuckoo's has-check) stay per-iteration."""
+        res = sync(fn(*args))
+        cache = getattr(self, "_kt_cache", None)
+        if cache is None:
+            cache = self._kt_cache = {}
+        if cache_key not in cache:
+            cache[cache_key] = time_amortized(fn, *args, k=4, warmup=0)
+        return res, cache[cache_key]
 
     @staticmethod
     def timed_with_transfer(device: jax.Device, fn: Callable, host_arrays):

@@ -46,7 +46,7 @@ class GroupBy(TpuDwarf):
             out, dev, host_time = self.timed_with_transfer(
                 device, fn, (keys, vals)
             )
-            _, kernel_time = self.timed(fn, *dev)
+            _, kernel_time = self.kernel_timed(buf_size, fn, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = np.array_equal(np.asarray(out), expected)
             meter.add_result({"buf_size": str(buf_size)}, result)

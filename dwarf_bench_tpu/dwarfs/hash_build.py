@@ -70,7 +70,7 @@ class HashBuild(TpuDwarf):
             found, dev, host_time = self.timed_with_transfer(
                 device, fn, (keys,)
             )
-            _, kernel_time = self.timed(fn, *dev)
+            _, kernel_time = self.kernel_timed(buf_size, fn, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)
@@ -92,7 +92,7 @@ class HashBuildNonBitmask(TpuDwarf):
             found, dev, host_time = self.timed_with_transfer(
                 device, fn, (keys,)
             )
-            _, kernel_time = self.timed(fn, *dev)
+            _, kernel_time = self.kernel_timed(buf_size, fn, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)
@@ -132,7 +132,9 @@ class CuckooHashBuild(TpuDwarf):
                     break
                 attempt += 1
             host_time = time.perf_counter() - t0
-            found, kernel_time = self.timed(cuckoo.has, table, dev_keys)
+            found, kernel_time = self.kernel_timed(
+                buf_size, cuckoo.has, table, dev_keys
+            )
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)
@@ -162,7 +164,7 @@ class SlabHashBuild(TpuDwarf):
             table, dev, host_time = self.timed_with_transfer(
                 device, build, (keys,)
             )
-            _, kernel_time = self.timed(build, *dev)
+            _, kernel_time = self.kernel_timed(buf_size, build, *dev)
             found, _ = block(bucket_hash.find(table, dev[0]))
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = all_true_on_device(found)

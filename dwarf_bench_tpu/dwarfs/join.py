@@ -88,7 +88,9 @@ class NestedLoopJoin(TpuDwarf):
                 device, join_ops.nested_loop_join,
                 (a_keys, a_vals, b_keys, b_vals),
             )
-            _, kernel_time = self.timed(join_ops.nested_loop_join, *dev)
+            _, kernel_time = self.kernel_timed(
+                buf_size, join_ops.nested_loop_join, *dev
+            )
             result = HashJoinResult(
                 host_time=host_time, kernel_time=kernel_time
             )

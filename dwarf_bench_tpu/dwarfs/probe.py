@@ -32,7 +32,9 @@ class SlabProbe(TpuDwarf):
             (found, _), host_time = self.timed(
                 bucket_hash.find, table, dev_keys
             )
-            _, kernel_time = self.timed(bucket_hash.find, table, dev_keys)
+            _, kernel_time = self.kernel_timed(
+                buf_size, bucket_hash.find, table, dev_keys
+            )
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = all_true_on_device(found)
             meter.add_result({"buf_size": str(buf_size)}, result)

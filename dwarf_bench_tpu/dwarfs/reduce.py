@@ -32,7 +32,7 @@ class ReduceDPCPP(TpuDwarf):
             out, dev, host_time = self.timed_with_transfer(
                 device, reduce_sum, (host_src,)
             )
-            _, kernel_time = self.timed(reduce_sum, *dev)
+            _, kernel_time = self.kernel_timed(buf_size, reduce_sum, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = int(np.int32(np.asarray(out))) == expected
             meter.add_result({"buf_size": str(buf_size)}, result)

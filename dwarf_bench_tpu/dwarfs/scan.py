@@ -67,7 +67,7 @@ class _ScanBase(TpuDwarf):
             (out, cnt), dev, host_time = self.timed_with_transfer(
                 device, fn, (host_src,)
             )
-            _, kernel_time = self.timed(fn, *dev)
+            _, kernel_time = self.kernel_timed(buf_size, fn, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
             c = int(cnt)
             result.valid = c == len(expected) and _outputs_equal(

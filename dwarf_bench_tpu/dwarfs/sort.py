@@ -35,7 +35,7 @@ class Radix(TpuDwarf):
             out, dev, host_time = self.timed_with_transfer(
                 device, sort_auto, (host_src,)
             )
-            _, kernel_time = self.timed(sort_auto, *dev)
+            _, kernel_time = self.kernel_timed(buf_size, sort_auto, *dev)
             result = Result(host_time=host_time, kernel_time=kernel_time)
             result.valid = sorted_equal_on_device(out, expected)
             meter.add_result({"buf_size": str(buf_size)}, result)

@@ -4,7 +4,10 @@ The CSR-join build's bound is ONE unstable 2-operand lax.sort of
 (u16 key, u32 id) at 2^20 (~1.09 ms measured). Ideas to beat it all reduce
 to single-operand sorts after bit-packing:
 
-  a) flat single-op u32 sort (what a packed sort would cost, lower bound);
+  a) flat single-op u32 sort (what a packed sort would cost, lower bound —
+     NOTE: ids are masked to 18 bits, which at N=2^20 silently drops the
+     top 2 id bits, so the output is a TIMING bound only, not a usable
+     sort result);
   b) batched (4, 2^18) single-op u32: key(14b) << 18 | local_id(18b) packs
      EXACTLY into u32 when rows are pre-split into 4 contiguous segments —
      yields 4 key-grouped segments that still need a merge;
