@@ -1,0 +1,146 @@
+"""Fused Pallas group-by for small group counts (balanced digit split).
+
+The reference's GroupBy aggregates with a CAS+fetch_add hash table over
+``groups_count`` dense keys (groupby/groupby.cpp:58-93); the benchmark and
+library configs use tiny group counts (20-64, bench.cpp:80). The round-1
+engine (ops/groupby.groupby_sum_matmul_bf16) builds a (T, G) one-hot per
+tile — G VPU compares per element — and is VPU-bound on one-hot
+construction, not on the MXU.
+
+This kernel splits the key into two BALANCED digits, ``hi = k >> log2(gb)``
+and ``lo = k & (gb - 1)``, and accumulates ``sums[hi, lo]`` — the same
+lanes-contraction weighted-histogram formulation as
+ops/hist_pallas.weighted_histogram_pallas, but with digit widths chosen per
+G instead of the fixed (hi_bins, 128) split. One-hot construction then
+costs ``ga + gb ≈ 2·sqrt(G)`` compares per element instead of G (for G=64:
+16 vs 64), and the per-row value planes multiply only the ga-row one-hot.
+Output cell (hi, lo) is exactly group ``hi * gb + lo``, so the dense output
+is ``acc.reshape(-1)[:G]`` with no remapping.
+
+Exactness: values are split into two 7-bit bf16 planes (exact for
+v < 2^14 — the benchmark's uniform [1, 10000] columns); per-block f32
+plane partials are ≤ 127 · 16384 < 2^21 (exact); each block folds
+``lo + (hi << 7)`` into an int32 accumulator, which wraps mod 2^32 exactly
+like the reference's uint32 aggregation (groupby/groupby.cpp:8-19).
+Out-of-range keys (uint32 ≥ G) and padding rows contribute nothing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROWS = 8
+_W = 2048  # lanes per sublane row per block
+
+
+def _digit_split(num_groups: int) -> tuple[int, int]:
+    """(ga, gb): gb = power-of-two lane digit in [8, 128], ga = sublane
+    digit rounded to a multiple of 8, ga * gb >= num_groups, ga + gb
+    (the per-element VPU compare cost) minimized."""
+    assert 1 <= num_groups <= (1 << 14)
+    best = None
+    gb = 8
+    while gb <= 128:
+        ga = max(8, -(-num_groups // gb))
+        ga = (ga + 7) // 8 * 8
+        if ga <= 1024 and (best is None or ga + gb < best[0] + best[1]):
+            best = (ga, gb)
+        gb *= 2
+    return best
+
+
+@partial(jax.jit, static_argnames=("num_groups", "interpret"))
+def groupby_small_pallas(
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_groups: int,
+    interpret: bool = False,
+):
+    """(num_groups,) uint32 per-group sums of ``v`` for keys in
+    [0, num_groups), num_groups <= 4096. PRECONDITION: 0 <= v < 2^14."""
+    ga, gb = _digit_split(num_groups)
+    shift = int(np.log2(gb))
+    n = k.shape[0]
+    block = _ROWS * _W
+    pad = (-n) % block
+    kp = jnp.pad(k.astype(jnp.int32), (0, pad))
+    vp = jnp.pad(v.astype(jnp.int32), (0, pad))
+    k2 = kp.reshape(-1, _W)
+    v2 = vp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+    n_arr = jnp.full((1,), n, jnp.int32)
+
+    def kernel(n_ref, k_ref, v_ref, out_ref, acc_int):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_int[...] = jnp.zeros((ga, gb), jnp.int32)
+
+        blk_lo = jnp.zeros((ga, gb), jnp.float32)
+        blk_hi = jnp.zeros((ga, gb), jnp.float32)
+        base = i * block
+        nn = n_ref[0]
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (ga, _W), 0)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (gb, _W), 0)
+        for r in range(_ROWS):
+            row = k_ref[r, :].reshape(1, _W)
+            val = v_ref[r, :].reshape(1, _W)
+            idx = base + r * _W + jax.lax.broadcasted_iota(
+                jnp.int32, (1, _W), 1
+            )
+            # padding and out-of-range keys (uint32 >= G) route the hi digit
+            # to the sentinel ga, which matches no iota row
+            bad = (idx >= nn) | (row < 0) | (row >= num_groups)
+            hi = jnp.where(bad, ga, row >> shift)
+            lo = row & (gb - 1)
+            oh_a = (jnp.broadcast_to(hi, (ga, _W)) == iota_a).astype(
+                jnp.bfloat16
+            )
+            oh_b = (jnp.broadcast_to(lo, (gb, _W)) == iota_b).astype(
+                jnp.bfloat16
+            )
+            vlo = jnp.broadcast_to((val & 0x7F).astype(jnp.bfloat16),
+                                   (ga, _W))
+            vhi = jnp.broadcast_to(((val >> 7) & 0x7F).astype(jnp.bfloat16),
+                                   (ga, _W))
+            dims = (((1,), (1,)), ((), ()))
+            blk_lo = blk_lo + jax.lax.dot_general(
+                oh_a * vlo, oh_b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            blk_hi = blk_hi + jax.lax.dot_general(
+                oh_a * vhi, oh_b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+
+        acc_int[...] += blk_lo.astype(jnp.int32) + (
+            blk_hi.astype(jnp.int32) << 7
+        )
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            out_ref[...] = acc_int[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ga, gb), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ga, gb), jnp.int32)],
+        interpret=interpret,
+    )(n_arr, k2, v2)
+    return out.reshape(-1)[:num_groups].astype(jnp.uint32)

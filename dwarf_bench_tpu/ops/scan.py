@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .primitives import compact, exclusive_cumsum
 
@@ -67,7 +68,10 @@ def filter_two_pass(
     return out, count.astype(jnp.int32)
 
 
-_BIG = jnp.int32(0x7FFFFFFF)  # position sentinel: sorts last
+# position sentinel: sorts last. np scalar, NOT jnp — a module-level jnp
+# constant initializes the XLA backend at import time (breaking
+# jax.distributed.initialize ordering) and lives on the default device.
+_BIG = np.int32(0x7FFFFFFF)
 
 
 @partial(

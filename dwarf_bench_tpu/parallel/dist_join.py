@@ -17,10 +17,14 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import csr_join
+import numpy as np
+
+from ..ops import csr_join, hashtable
+from ..ops.hashing import murmur3_32
 from ..ops.hashtable import EMPTY
-from .mesh import ROW_AXIS
-from .shuffle import partition_for_shuffle
+from ..ops.primitives import compact_multi
+from .mesh import DCN_AXIS, ICI_AXIS, ROW_AXIS
+from .shuffle import partition_for_shuffle, partition_for_shuffle_2d
 
 
 def _local_join(keys, row_ids, queries, distinct_cap, ht_size, dense):
@@ -297,5 +301,167 @@ def dist_csr_join_skew(
             mesh=mesh,
             in_specs=(P(ROW_AXIS), P(ROW_AXIS)),
             out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(), P(ROW_AXIS)),
+        )
+    )
+
+
+def dist_hash_join_rows(mesh: Mesh, shuffle_capacity: int, ht_size: int,
+                        hash_seed=np.uint32(0x85EBCA6B)):
+    """Distributed 1:1 hash join returning MATERIALIZED (key, a_val, b_val)
+    rows — the reference Join dwarf's observable output (join/join.cpp:
+    80-129), distributed: both tables hash-partition by key through the
+    multi-column shuffle (values ride as payload), each chip builds the
+    parking-construction hash table over the A rows it owns and probes its
+    B rows, and matched rows are compacted on-device per chip
+    (fixed-capacity + count). The union of per-chip row sets is the join —
+    validated order-insensitively against the seq_join oracle
+    (join/join_helpers.hpp:86-125), like the reference's compare.
+
+    Returns per chip (row-sharded): keys, a_vals, b_vals (each
+    (n_chips * shuffle_capacity,) with garbage past count), count, and
+    shuffle overflow (must be 0)."""
+    n_chips = mesh.shape[ROW_AXIS]
+
+    def local(a_keys, a_vals, b_keys, b_vals):
+        rak, (rav,), _, ov_a = partition_for_shuffle(
+            a_keys, (a_vals,), n_chips, shuffle_capacity, ROW_AXIS
+        )
+        rbk, (rbv,), _, ov_b = partition_for_shuffle(
+            b_keys, (b_vals,), n_chips, shuffle_capacity, ROW_AXIS
+        )
+        fak, fav = rak.reshape(-1), rav.reshape(-1)
+        fbk, fbv = rbk.reshape(-1), rbv.reshape(-1)
+        home = murmur3_32(fak, hash_seed, ht_size)
+        table = hashtable.build(
+            fak, home, ht_size, payload=(fav,), valid=fak != EMPTY
+        )
+        bhome = murmur3_32(fbk, hash_seed, ht_size)
+        found, av = hashtable.lookup(table, fbk, bhome)
+        found = found & (fbk != EMPTY)
+        (k, a, b), count = compact_multi((fbk, av, fbv), found)
+        return (
+            k[None], a[None], b[None], count.reshape(1),
+            (ov_a + ov_b).reshape(1),
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(ROW_AXIS),) * 4,
+            out_specs=(P(ROW_AXIS),) * 5,
+        )
+    )
+
+
+def dist_csr_join_2d(mesh: Mesh, rows_per_chip: int, distinct_cap: int,
+                     ht_size: int, cap_ici: int, cap_dcn: int,
+                     dense: bool = False):
+    """dist_csr_join on a 2-D (dcn, ici) mesh with the hierarchical two-hop
+    shuffle (shuffle.partition_for_shuffle_2d): rows cross the slow DCN
+    fabric exactly once, aggregated per host — the DCN-aware layout
+    SURVEY.md §5.8 maps the north star to. Row ids are GLOBAL
+    (chip linear index = dcn_idx * n_ici + ici_idx).
+
+    Returns (per-received-B-row counts [row-sharded], per-chip totals,
+    global total [replicated], shuffle overflow)."""
+    n_dcn = mesh.shape[DCN_AXIS]
+    n_ici = mesh.shape[ICI_AXIS]
+
+    def local(a_keys, b_keys):
+        d_idx = jax.lax.axis_index(DCN_AXIS).astype(jnp.uint32)
+        i_idx = jax.lax.axis_index(ICI_AXIS).astype(jnp.uint32)
+        linear = d_idx * jnp.uint32(n_ici) + i_idx
+        base = linear * jnp.uint32(rows_per_chip)
+        a_ids = base + jnp.arange(a_keys.shape[0], dtype=jnp.uint32)
+        b_ids = base + jnp.arange(b_keys.shape[0], dtype=jnp.uint32)
+
+        rak, (rai,), _, ov_a = partition_for_shuffle_2d(
+            a_keys, (a_ids,), n_dcn, n_ici, cap_ici, cap_dcn,
+            DCN_AXIS, ICI_AXIS,
+        )
+        rbk, (rbi,), _, ov_b = partition_for_shuffle_2d(
+            b_keys, (b_ids,), n_dcn, n_ici, cap_ici, cap_dcn,
+            DCN_AXIS, ICI_AXIS,
+        )
+        res = _local_join(
+            rak.reshape(-1), rai.reshape(-1), rbk.reshape(-1),
+            distinct_cap, ht_size, dense,
+        )
+        local_matches = jnp.sum(
+            jnp.where(res.found, res.counts, 0).astype(jnp.int32)
+        )
+        total = jax.lax.psum(local_matches, (DCN_AXIS, ICI_AXIS))
+        counts_out = jnp.where(res.found, res.counts, 0)
+        return (
+            counts_out[None, None],
+            local_matches[None, None],
+            total,
+            (ov_a + ov_b).reshape(1, 1),
+        )
+
+    sharded = P(DCN_AXIS, ICI_AXIS)
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P((DCN_AXIS, ICI_AXIS)), P((DCN_AXIS, ICI_AXIS))),
+            out_specs=(sharded, sharded, P(), sharded),
+        )
+    )
+
+
+def dist_csr_join_ring_2d(mesh: Mesh, rows_per_chip: int, distinct_cap: int,
+                          ht_size: int, dense: bool = False):
+    """Ring join on a 2-D (dcn, ici) mesh: B chunks rotate through all
+    chips of a host over ICI (n_ici hops), then take ONE DCN hop to the
+    next host, repeating for every host — n_dcn DCN crossings per chunk
+    total versus n_chips for a flat ring over the pod. Per-hop compute
+    (local probe) overlaps the next hop's ppermute like the 1-D ring.
+
+    Returns (per-B-row global counts [row-sharded], per-chip totals,
+    global total)."""
+    n_dcn = mesh.shape[DCN_AXIS]
+    n_ici = mesh.shape[ICI_AXIS]
+    perm_ici = [(i, (i + 1) % n_ici) for i in range(n_ici)]
+    perm_dcn = [(i, (i + 1) % n_dcn) for i in range(n_dcn)]
+
+    def local(a_keys, b_keys):
+        d_idx = jax.lax.axis_index(DCN_AXIS).astype(jnp.uint32)
+        i_idx = jax.lax.axis_index(ICI_AXIS).astype(jnp.uint32)
+        linear = d_idx * jnp.uint32(n_ici) + i_idx
+        a_ids = linear * jnp.uint32(rows_per_chip) + jnp.arange(
+            a_keys.shape[0], dtype=jnp.uint32
+        )
+        ak = a_keys.astype(jnp.uint32)
+        if dense:
+            table = csr_join.build_dense(ak, row_ids=a_ids)
+        else:
+            table = csr_join.build(ak, distinct_cap, ht_size, row_ids=a_ids)
+
+        bk = b_keys.astype(jnp.uint32)
+        acc = jnp.zeros(bk.shape, jnp.int32)
+        for _ in range(n_dcn):
+            for _ in range(n_ici):
+                if dense:
+                    res = csr_join.probe_dense(table, bk)
+                else:
+                    res = csr_join.probe_merge(table, bk)
+                acc = acc + jnp.where(res.found, res.counts, 0)
+                bk = jax.lax.ppermute(bk, ICI_AXIS, perm_ici)
+                acc = jax.lax.ppermute(acc, ICI_AXIS, perm_ici)
+            bk = jax.lax.ppermute(bk, DCN_AXIS, perm_dcn)
+            acc = jax.lax.ppermute(acc, DCN_AXIS, perm_dcn)
+        local_matches = jnp.sum(acc)
+        total = jax.lax.psum(local_matches, (DCN_AXIS, ICI_AXIS))
+        return acc[None, None], local_matches[None, None], total
+
+    sharded = P(DCN_AXIS, ICI_AXIS)
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P((DCN_AXIS, ICI_AXIS)), P((DCN_AXIS, ICI_AXIS))),
+            out_specs=(sharded, sharded, P()),
         )
     )

@@ -272,3 +272,186 @@ class TestSkewJoin:
         _, _, total, ov = skew(da, db)
         assert int(np.sum(np.asarray(ov))) == 0
         assert int(np.asarray(total).ravel()[0]) == self._expected(A, B)
+
+
+class TestMultiColumnShuffle:
+    def test_tuple_payloads_preserved(self, mesh, rng):
+        """N payload columns ride the exchange with their keys (the 64-bit
+        payload path: two uint32 columns)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from dwarf_bench_tpu.ops.hashtable import EMPTY
+        from dwarf_bench_tpu.parallel.shuffle import partition_for_shuffle
+
+        n = 8 * 512
+        keys = rng.integers(1, 100000, n).astype(np.uint32)
+        v64 = rng.integers(0, 2**64 - 1, n, dtype=np.uint64)
+        lo = (v64 & 0xFFFFFFFF).astype(np.uint32)
+        hi = (v64 >> 32).astype(np.uint32)
+        ids = np.arange(n, dtype=np.uint32)
+        cap = (n // N_DEV // N_DEV) * 4
+
+        def local(k, a, b, c):
+            rk, (ra, rb, rc), _, ov = partition_for_shuffle(
+                k, (a, b, c), N_DEV, cap, "x"
+            )
+            return (
+                rk.reshape(-1)[None], ra.reshape(-1)[None],
+                rb.reshape(-1)[None], rc.reshape(-1)[None], ov.reshape(1),
+            )
+
+        fn = jax.jit(
+            shard_map(
+                local, mesh=mesh, in_specs=(P("x"),) * 4,
+                out_specs=(P("x"),) * 5,
+            )
+        )
+        rk, ra, rb, rc = map(
+            np.asarray, fn(*shard_rows(mesh, keys, lo, hi, ids))[:4]
+        )
+        m = rk.reshape(-1) != np.uint32(EMPTY)
+        got = sorted(
+            zip(
+                rk.reshape(-1)[m],
+                (rb.reshape(-1)[m].astype(np.uint64) << 32)
+                | ra.reshape(-1)[m],
+                rc.reshape(-1)[m],
+            )
+        )
+        assert got == sorted(zip(keys, v64, ids))
+
+
+class TestDistJoinRows:
+    def test_rows_match_seq_join_oracle(self, mesh, rng):
+        """The distributed 1:1 join's materialized row set equals the
+        seq_join oracle order-insensitively (join_helpers.hpp:86-125)."""
+        from dwarf_bench_tpu.common.datagen import make_unique_random
+        from dwarf_bench_tpu.ops.join import seq_join_oracle
+        from dwarf_bench_tpu.parallel import dist_hash_join_rows
+
+        n = 8 * 512
+        a_keys = make_unique_random(n, seed=11)
+        a_vals = make_unique_random(n, seed=12)
+        b_keys = make_unique_random(n, seed=13)
+        b_vals = make_unique_random(n, seed=14)
+        expected = seq_join_oracle(a_keys, a_vals, b_keys, b_vals)
+
+        cap = (n // N_DEV // N_DEV) * 4
+        fn = dist_hash_join_rows(
+            mesh, shuffle_capacity=cap, ht_size=2 * N_DEV * cap
+        )
+        outs = fn(*shard_rows(mesh, a_keys, a_vals, b_keys, b_vals))
+        k, a, b, cnt, ov = map(np.asarray, outs)
+        assert int(ov.sum()) == 0
+        rows = []
+        for c in range(N_DEV):
+            m = int(cnt[c])
+            rows += list(zip(k[c][:m], a[c][:m], b[c][:m]))
+        got = np.array(sorted(rows), dtype=np.uint64).reshape(-1, 3)
+        assert np.array_equal(got, expected)
+
+
+class TestDist2D:
+    """2-D (dcn, ici) mesh variants on the same 8 virtual devices (2x4)."""
+
+    @pytest.fixture(scope="class")
+    def mesh2d(self):
+        from dwarf_bench_tpu.parallel import make_mesh_2d
+
+        assert len(jax.devices()) >= N_DEV
+        return make_mesh_2d(2, 4)
+
+    def _expected(self, A, B):
+        from collections import Counter
+
+        ca, cb = Counter(A.tolist()), Counter(B.tolist())
+        return sum(ca[k] * cb.get(k, 0) for k in ca)
+
+    def test_shuffle_2d_two_hop_delivery(self, mesh2d, rng):
+        """Every row reaches the chip owning its key hash after the
+        hierarchical ICI-then-DCN exchange."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from dwarf_bench_tpu.ops.hashing import murmur3_32
+        from dwarf_bench_tpu.ops.hashtable import EMPTY
+        from dwarf_bench_tpu.parallel.shuffle import (
+            SHUFFLE_SEED,
+            partition_for_shuffle_2d,
+        )
+
+        n = 8 * 512
+        keys = rng.integers(1, 100000, n).astype(np.uint32)
+        vals = np.arange(n, dtype=np.uint32)
+        cap1 = (n // 8 // 4) * 4
+        cap2 = (n // 8 // 2) * 4
+
+        def local(k, v):
+            rk, rv, _, ov = partition_for_shuffle_2d(
+                k, v, 2, 4, cap1, cap2, "dcn", "ici"
+            )
+            return (
+                rk.reshape(-1)[None, None],
+                rv.reshape(-1)[None, None],
+                ov.reshape(1, 1),
+            )
+
+        sh = P(("dcn", "ici"))
+        fn = jax.jit(
+            shard_map(
+                local, mesh=mesh2d, in_specs=(sh, sh),
+                out_specs=(P("dcn", "ici"),) * 3,
+            )
+        )
+        dk, dv = shard_rows(mesh2d, keys, vals)
+        rk, rv, ov = fn(dk, dv)
+        assert int(np.sum(np.asarray(ov))) == 0
+        rk = np.asarray(rk).reshape(8, -1)  # chip-linear rows
+        rv = np.asarray(rv).reshape(8, -1)
+        m = rk.reshape(-1) != np.uint32(EMPTY)
+        got = sorted(zip(rk.reshape(-1)[m], rv.reshape(-1)[m]))
+        assert got == sorted(zip(keys, vals))
+        dest = np.asarray(murmur3_32(jnp.asarray(keys), SHUFFLE_SEED)) % 8
+        for chip in range(8):
+            chip_keys = rk[chip][rk[chip] != np.uint32(EMPTY)]
+            assert np.array_equal(
+                np.sort(chip_keys), np.sort(keys[dest == chip])
+            )
+
+    @pytest.mark.parametrize("dense", [False, True])
+    def test_join_2d_matches_oracle(self, mesh2d, rng, dense):
+        from dwarf_bench_tpu.parallel import dist_csr_join_2d
+
+        n = 8 * 1024
+        per_chip = n // 8
+        A = rng.integers(1, 2000, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 2000, n, endpoint=True).astype(np.uint32)
+        cap1 = (per_chip // 4) * 2
+        cap2 = (per_chip // 2) * 2
+        fn = dist_csr_join_2d(
+            mesh2d, rows_per_chip=per_chip, distinct_cap=2 * cap2,
+            ht_size=4 * cap2 + 2, cap_ici=cap1, cap_dcn=cap2, dense=dense,
+        )
+        da, db = shard_rows(mesh2d, A, B)
+        counts, local_totals, total, ov = fn(da, db)
+        assert int(np.sum(np.asarray(ov))) == 0
+        assert int(np.asarray(total).ravel()[0]) == self._expected(A, B)
+
+    def test_ring_2d_matches_oracle(self, mesh2d, rng):
+        from collections import Counter
+
+        from dwarf_bench_tpu.parallel import dist_csr_join_ring_2d
+
+        n = 8 * 512
+        per_chip = n // 8
+        A = rng.integers(1, 800, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 800, n, endpoint=True).astype(np.uint32)
+        fn = dist_csr_join_ring_2d(
+            mesh2d, rows_per_chip=per_chip, distinct_cap=per_chip,
+            ht_size=2 * per_chip + 2,
+        )
+        da, db = shard_rows(mesh2d, A, B)
+        counts, local_totals, total = fn(da, db)
+        assert int(np.asarray(total).ravel()[0]) == self._expected(A, B)
+        ca = Counter(A.tolist())
+        exp_counts = np.array([ca.get(int(k), 0) for k in B], np.int32)
+        assert np.array_equal(np.asarray(counts).reshape(-1), exp_counts)
