@@ -455,3 +455,68 @@ class TestDist2D:
         ca = Counter(A.tolist())
         exp_counts = np.array([ca.get(int(k), 0) for k in B], np.int32)
         assert np.array_equal(np.asarray(counts).reshape(-1), exp_counts)
+
+
+class TestSkewJoinZipf:
+    """Adversarial Zipf-distributed keys stress the skew thresholds
+    (dist_join.dist_csr_join_skew: heavy detection + broadcast split)."""
+
+    def _expected(self, A, B):
+        from collections import Counter
+
+        ca, cb = Counter(A.tolist()), Counter(B.tolist())
+        return sum(ca[k] * cb.get(k, 0) for k in ca)
+
+    def test_zipf_keys_exact(self, mesh, rng):
+        from dwarf_bench_tpu.parallel import dist_csr_join_skew
+
+        per_chip = 1024
+        n = N_DEV * per_chip
+        # Zipf(1.3) clipped: a realistic heavy-tail key column — a handful
+        # of keys hold a large share of rows, many mid-weight keys follow
+        A = np.minimum(rng.zipf(1.3, n), 1 << 20).astype(np.uint32)
+        B = np.minimum(rng.zipf(1.3, n), 1 << 20).astype(np.uint32)
+        cap = (per_chip // N_DEV) * 4
+        fn = dist_csr_join_skew(
+            mesh, per_chip, N_DEV * cap, 2 * N_DEV * cap, cap,
+            heavy_cap=32, candidates_per_chip=16,
+        )
+        da, db = shard_rows(mesh, A, B)
+        light, heavy, total, ov = fn(da, db)
+        assert int(np.sum(np.asarray(ov))) == 0
+        assert int(np.asarray(total).ravel()[0]) == self._expected(A, B)
+
+    def test_threshold_boundary(self, mesh, rng):
+        """A key just ABOVE the heavy threshold (shuffle_capacity // 2)
+        rides the broadcast path; one just below rides the shuffle — both
+        exact, no overflow. Pins the dist_join threshold semantics."""
+        from dwarf_bench_tpu.parallel import dist_csr_join_skew
+
+        per_chip = 1024
+        n = N_DEV * per_chip
+        cap = (per_chip // N_DEV) * 4  # 512 → threshold 256
+        thr = cap // 2
+        A = rng.integers(1, 5000, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 5000, n, endpoint=True).astype(np.uint32)
+        # exact global counts: X = thr + 8 (heavy), Y = thr - 8 (light)
+        X, Y = np.uint32(100001), np.uint32(100002)
+        A[: thr + 8] = X
+        A[thr + 8 : 2 * thr] = Y
+        fn = dist_csr_join_skew(
+            mesh, per_chip, N_DEV * cap, 2 * N_DEV * cap, cap
+        )
+        da, db = shard_rows(mesh, A, B)
+        light, heavy, total, ov = fn(da, db)
+        assert int(np.sum(np.asarray(ov))) == 0
+        assert int(np.asarray(total).ravel()[0]) == self._expected(A, B)
+        # the heavy path's counts are per LOCAL B row: plant probes
+        B2 = B.copy()
+        B2[:4] = X  # rows 0..3 on chip 0
+        B2[4:8] = Y
+        da2, db2 = shard_rows(mesh, A, B2)
+        light2, heavy2, total2, ov2 = fn(da2, db2)
+        assert int(np.sum(np.asarray(ov2))) == 0
+        assert int(np.asarray(total2).ravel()[0]) == self._expected(A, B2)
+        hc = np.asarray(heavy2).reshape(-1)
+        assert np.all(hc[:4] == thr + 8)  # X answered by the heavy path
+        assert np.all(hc[4:8] == 0)  # Y answered by the light path

@@ -18,7 +18,8 @@ from dwarf_bench_tpu import (
 )
 
 SIZES = [128, 256, 512, 1024, 2048, 4096]  # dwarf_tests.cpp:44-58
-ITERATIONS = 2  # reference uses 10; trimmed for CI speed
+ITERATIONS = 2  # fast tier: trimmed for CI speed
+SLOW_ITERATIONS = 10  # slow tier: the reference's convention (utils.cpp:19)
 
 PLAIN_DWARFS = [
     "TwoPassScan",
@@ -39,14 +40,15 @@ PLAIN_DWARFS = [
 GROUPBY_DWARFS = ["GroupBy", "GroupByLocal"]
 
 
-def _run(name: str, sizes, groups_count=64, executors=1024):
+def _run(name: str, sizes, groups_count=64, executors=1024,
+         iterations=ITERATIONS):
     reg = populate_registry()
     dwarf = reg.find(name)
     assert dwarf is not None
     opts = RunOptions(
         device_ty=DeviceType.CPU,
         input_size=list(sizes),
-        iterations=ITERATIONS,
+        iterations=iterations,
         seed=42,
     )
     if "GroupBy" in name:
@@ -56,7 +58,7 @@ def _run(name: str, sizes, groups_count=64, executors=1024):
         dwarf.init(opts)
         dwarf.run(opts)
     results = list(dwarf.get_results())
-    assert len(results) == len(sizes) * ITERATIONS
+    assert len(results) == len(sizes) * iterations
     for rec in results:
         assert rec.result.valid, (name, rec.params)
     return results
@@ -70,7 +72,7 @@ def test_dwarf_valid_small_sizes(name):
 @pytest.mark.parametrize("name", PLAIN_DWARFS)
 @pytest.mark.slow
 def test_dwarf_valid_large_sizes(name):
-    _run(name, SIZES[3:])
+    _run(name, SIZES[3:], iterations=SLOW_ITERATIONS)
 
 
 @pytest.mark.parametrize("name", GROUPBY_DWARFS)
