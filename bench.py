@@ -75,8 +75,24 @@ def main() -> None:
             rng.integers(1, 10000, n, endpoint=True).astype(np.uint32),
             device,
         )
+        # dispatch: balanced-digit Pallas kernel on accelerators
         fn = jax.jit(
-            lambda kk, vv: groupby.groupby_sum_matmul_bf16(kk, vv, G)
+            lambda kk, vv: groupby.groupby_sum(kk, vv, G,
+                                               vals_below_2p14=True)
+        )
+        return n / _time_op(fn, k, v)
+
+    def run_groupby_big():
+        # the BASELINE.json GroupBy config: 2^16 distinct keys
+        n, G = 1 << 20, 1 << 16
+        k = jax.device_put(rng.integers(0, G, n).astype(np.uint32), device)
+        v = jax.device_put(
+            rng.integers(1, 10000, n, endpoint=True).astype(np.uint32),
+            device,
+        )
+        fn = jax.jit(
+            lambda kk, vv: groupby.groupby_sum(kk, vv, G,
+                                               vals_below_2p14=True)
         )
         return n / _time_op(fn, k, v)
 
@@ -117,6 +133,7 @@ def main() -> None:
     components = [
         ("radix", run_radix, 240 if on_accel else 10),
         ("groupby", run_groupby, 240 if on_accel else 10),
+        ("groupby_big", run_groupby_big, 240 if on_accel else 10),
         ("join", run_join, 420 if on_accel else 20),
         ("scan", run_scan, 700 if on_accel else 20),
     ]

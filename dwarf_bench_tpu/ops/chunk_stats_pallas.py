@@ -1,0 +1,103 @@
+"""Streaming Pallas phase-A chunk statistics (sparsity-adaptive filter).
+
+Semantics identical to ops/chunk_stats.chunk_stats_xla (the TPU analog of
+TwoPassScan's pass-1 counting, scan/scan.cl:3-22): per 128-lane chunk, the
+match count and the window-clipped match-value sum, packed as
+``stat = cnt * 512 + min(vsum, 511)``.
+
+Round-1 measured XLA's fused (nch, 128) row reductions at 0.16 ms for 2^24
+rows — 2x the HBM read bound — and an early hand-written Pallas kernel at
+0.56 ms (small blocks + N=1 MXU matvecs). This kernel uses the pattern that
+took ops/reduce.reduce_sum_pallas to 755 GB/s instead:
+
+  * 2 MB input blocks (256 x 2048 int32) through the sequential grid;
+  * the per-chunk segment reductions ride the MXU as ONE (R, W) x (W, 16)
+    matmul per quantity against a block-diagonal 0/1 segment matrix
+    (seg[l, j] = 1 iff lane l belongs to the j-th 128-lane chunk of the
+    row) — 16 MACs/element instead of log-shift lane reductions;
+  * bf16 operands are exact: the mask is 0/1 and the window encoding is an
+    integer <= 256 (8 mantissa bits); per-chunk f32 partials are <= 128*256
+    < 2^24, so every accumulation is exact.
+
+The exclusive output-offset prefix (``base``) stays outside: it is a
+cumsum over nch = n/128 elements (~23 us at 2^24 via XLA), not worth a
+carry in this kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_R = 256  # sublanes per block: 256 x 2048 x 4 B = 2 MB VMEM blocks
+_W = 2048
+_SEG = _W // 128  # 128-lane chunks per sublane row
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chunk_stats_pallas(x2: jnp.ndarray, threshold, interpret: bool = False):
+    """x2: (nch, 128) int32. Returns (stat, base): (nch,) int32 each —
+    drop-in for chunk_stats_xla. Callers guarantee padding rows never
+    match (filter_sparse overwrites the tail with ``threshold``); the
+    kernel's own block padding uses ``threshold`` for the same reason.
+    """
+    nch = x2.shape[0]
+    thr = jnp.asarray(threshold, jnp.int32)
+    flat = x2.reshape(-1)
+    n = flat.shape[0]
+    block = _R * _W
+    pad = (-n) % block
+    xp = jnp.pad(flat, (0, pad), constant_values=thr)
+    xr = xp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+
+    def kernel(thr_ref, x_ref, out_ref, seg_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_W, _SEG), 0)
+            segj = jax.lax.broadcasted_iota(jnp.int32, (_W, _SEG), 1)
+            seg_ref[...] = ((lane >> 7) == segj).astype(jnp.bfloat16)
+
+        t = thr_ref[0]
+        x = x_ref[...]
+        m = (x < t).astype(jnp.bfloat16)  # 0/1 exact in bf16
+        # window encoding: d = clip(t - max(x, t - 512), 0, 256) — integers
+        # <= 256, exact in bf16; non-matches contribute 0
+        d = t - jnp.maximum(x, t - 512)
+        vclip = jnp.clip(d, 0, 256).astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        cnt = jax.lax.dot_general(
+            m, seg_ref[...], dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (R, SEG) per-chunk match counts, <= 128
+        vs = jax.lax.dot_general(
+            vclip, seg_ref[...], dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (R, SEG) per-chunk window sums, <= 2^15
+        out_ref[...] = cnt * 512 + jnp.minimum(vs, 511)
+
+    thr_arr = jnp.full((1,), thr, jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_R, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_R, _SEG), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * _R, _SEG), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_W, _SEG), jnp.bfloat16)],
+        interpret=interpret,
+    )(thr_arr, xr)
+    stat = out.reshape(-1)[:nch]
+    cnt = stat >> 9
+    base = jnp.cumsum(cnt) - cnt
+    return stat, base

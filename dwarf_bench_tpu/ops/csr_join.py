@@ -232,12 +232,29 @@ def build_dense(
     pos = jnp.cumsum(counts) - counts
     ids = jnp.arange(n, dtype=jnp.uint32) if row_ids is None else row_ids
     # unstable: within-key id order is unspecified in the reference too
-    # (atomic fetch_add placement) and the oracle compares id sets. The sort
-    # key is the min-shifted u16 key (valid keys span < 2^14 by the dense
-    # precondition; EMPTY padding maps to 0xFFFF and stays last) — the
-    # narrower comparator shaves ~6% off the sort network.
-    k16 = jnp.where(valid, ak - minv, jnp.uint32(0xFFFF)).astype(jnp.uint16)
-    _, sid = sort_by_key(k16, ids.astype(jnp.uint32), stable=False)
+    # (atomic fetch_add placement) and the oracle compares id sets.
+    if row_ids is None and n < (1 << 18):
+        # key (14 bits) + default row id (< 18 bits) pack into ONE uint32
+        # column: the 1-operand sort network measured 1.75x the 2-operand
+        # (u16, u32) sort at 2^20 on v5e (scripts/measure_r3.py d7).
+        # n < 2^18 strictly: the max valid packed value is then
+        # <= (0x3FFF << 18) | (n - 2) < 0xFFFFFFFF, so EMPTY padding's
+        # sentinel never ties with a real row.
+        packed = jnp.where(
+            valid,
+            ((ak - minv) << 18) | jnp.arange(n, dtype=jnp.uint32),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        (sp,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
+        sid = sp & jnp.uint32(0x3FFFF)
+    else:
+        # the min-shifted u16 key (valid keys span < 2^14 by the dense
+        # precondition; EMPTY padding maps to 0xFFFF and stays last) — the
+        # narrower comparator shaves ~6% off the sort network.
+        k16 = jnp.where(
+            valid, ak - minv, jnp.uint32(0xFFFF)
+        ).astype(jnp.uint16)
+        _, sid = sort_by_key(k16, ids.astype(jnp.uint32), stable=False)
     num_distinct = jnp.sum((counts > 0).astype(jnp.int32))
     # pos of any nonempty key is <= n - cnt < 2^20; keys with cnt == 0 may
     # wrap in the shift but the probe masks them via found == False

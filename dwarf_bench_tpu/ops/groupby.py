@@ -113,9 +113,11 @@ def groupby_sum_2level(
     assert num_groups <= 1 << 16
     hi_bins = _hi_bins_for(num_groups)
     if jax.default_backend() != "cpu":
-        from .hist_pallas import weighted_histogram_pallas
+        # int8 MXU path: 1.65x the bf16 planes at hi_bins=512 (the
+        # BASELINE G=2^16 config) — scripts/measure_r3.py d6
+        from .hist_pallas import weighted_histogram_i8_pallas
 
-        sums = weighted_histogram_pallas(
+        sums = weighted_histogram_i8_pallas(
             keys.astype(jnp.int32), vals.astype(jnp.int32), hi_bins=hi_bins
         )
         return sums[:num_groups].astype(jnp.uint32)
@@ -192,6 +194,13 @@ def groupby_sum(keys, vals, num_groups: int, vals_below_2p14: bool = False):
     up to 2^16 groups, sort path beyond."""
     if num_groups <= 4096:
         if vals_below_2p14:
+            if jax.default_backend() != "cpu":
+                # balanced-digit Pallas kernel: ga + gb ≈ 2·sqrt(G) VPU
+                # compares per element instead of G (15.0 vs 10.5 Grows/s
+                # at G=64, 2^22 on v5e — scripts/measure_r3.py d2)
+                from .groupby_pallas import groupby_small_pallas
+
+                return groupby_small_pallas(keys, vals, num_groups)
             return groupby_sum_matmul_bf16(keys, vals, num_groups)
         return groupby_sum_matmul(keys, vals, num_groups)
     if num_groups <= (1 << 16) and vals_below_2p14:

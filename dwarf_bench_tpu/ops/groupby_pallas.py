@@ -56,6 +56,100 @@ def _digit_split(num_groups: int) -> tuple[int, int]:
 
 
 @partial(jax.jit, static_argnames=("num_groups", "interpret"))
+def groupby_small_pallas_f32(
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_groups: int,
+    interpret: bool = False,
+):
+    """Single-f32-plane variant of ``groupby_small_pallas``: instead of two
+    7-bit bf16 value planes (two masked (ga, W) multiplies + two dots per
+    row), the value rides ONE f32 select into the hi one-hot and ONE
+    dot_general at Precision.HIGHEST per 1024-lane half-row.
+
+    Exactness: products are onehot * v with v < 2^14 (exact under HIGHEST's
+    bf16x3 operand split, 24 mantissa bits); each half-row dot cell sums at
+    most 1024 values < 2^14, so partials are <= 1024 * (2^14 - 1) =
+    16,776,192 < 2^24 — every f32 add is exact. Per-row folds into the
+    int32 accumulator wrap mod 2^32 like the reference's uint32 aggregation
+    (groupby/groupby.cpp:8-19).
+
+    The i1 select uses f32 operands only — f32 shares the (8, 128) native
+    vreg layout with the int32 compare, avoiding the i1 relayouts Mosaic
+    cannot do for bf16/int8 selects (measured round 2: MosaicError "Invalid
+    relayout ... replicated in destination" on the bf16 where-forms).
+
+    Padding keys carry the sentinel ``ga << shift`` (= the smallest uint32
+    the hi-route check rejects), so no per-element index masking is needed.
+    """
+    ga, gb = _digit_split(num_groups)
+    shift = int(np.log2(gb))
+    sentinel = np.uint32(ga << shift)
+    n = k.shape[0]
+    block = _ROWS * _W
+    pad = (-n) % block
+    kp = jnp.pad(k.astype(jnp.uint32), (0, pad), constant_values=sentinel)
+    vp = jnp.pad(v.astype(jnp.int32), (0, pad))
+    k2 = kp.astype(jnp.int32).reshape(-1, _W)
+    v2 = vp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+    _H = 1024  # half-row: 1024 * (2^14 - 1) < 2^24 keeps f32 cells exact
+
+    def kernel(k_ref, v_ref, out_ref, acc_int):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_int[...] = jnp.zeros((ga, gb), jnp.int32)
+
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (ga, _H), 0)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (gb, _H), 0)
+        zero = jnp.zeros((ga, _H), jnp.float32)
+        dims = (((1,), (1,)), ((), ()))
+        for r in range(_ROWS):
+            for h in range(_W // _H):
+                row = k_ref[r, h * _H : (h + 1) * _H].reshape(1, _H)
+                val = v_ref[r, h * _H : (h + 1) * _H].reshape(1, _H)
+                # out-of-range keys (uint32 >= ga*gb, incl. the padding
+                # sentinel and negatives) route hi past every iota row
+                bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+                hi = jnp.where(bad, np.int32(ga), row >> shift)
+                lo = row & (gb - 1)
+                cmp_a = jnp.broadcast_to(hi, (ga, _H)) == iota_a
+                oh_b = (jnp.broadcast_to(lo, (gb, _H)) == iota_b).astype(
+                    jnp.float32
+                )
+                vf = jnp.broadcast_to(val.astype(jnp.float32), (ga, _H))
+                a = jnp.where(cmp_a, vf, zero)
+                s = jax.lax.dot_general(
+                    a, oh_b, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                acc_int[...] += s.astype(jnp.int32)
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            out_ref[...] = acc_int[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ga, gb), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ga, gb), jnp.int32)],
+        interpret=interpret,
+    )(k2, v2)
+    return out.reshape(-1)[:num_groups].astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "interpret"))
 def groupby_small_pallas(
     k: jnp.ndarray,
     v: jnp.ndarray,

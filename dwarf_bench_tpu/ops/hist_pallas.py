@@ -205,6 +205,100 @@ def weighted_histogram_pallas(
     return out.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("hi_bins", "interpret"))
+def weighted_histogram_i8_pallas(
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    hi_bins: int = 512,
+    interpret: bool = False,
+):
+    """``weighted_histogram_pallas`` semantics on the int8 MXU path: the
+    bf16 variant is MXU-bound at hi_bins=512 (n·hi_bins·128·2 plane MACs ≈
+    1.39 ms at 2^20 — measured 1.44 total), so int8 dots halve the MXU and
+    the kernel becomes VPU-bound at 0.87 ms (1.65x, measure_r3.py d6).
+
+    Layout rules learned the hard way (rounds 1-2): the hi one-hot is a
+    pure int8 one-hot via the i1→int8 astype (the only sub-32-bit mask op
+    Mosaic relays); the value planes mask the 128-row LO side — 4x fewer
+    masked rows than the hi side — through int32 multiply + astype
+    (``jnp.where`` with int8/bf16 operands hits "Invalid relayout ...
+    replicated in destination"). Products are ≤ 127 so int8 dots
+    accumulate exactly in int32, which wraps mod 2^32 like the reference's
+    uint32 aggregation (groupby/groupby.cpp:8-19). Out-of-range keys
+    (uint32 ≥ hi_bins·128, incl. the padding sentinel) count nowhere."""
+    assert hi_bins % 8 == 0 and hi_bins <= 512
+    n = k.shape[0]
+    block = _ROWS * _W
+    pad = (-n) % block
+    sentinel = np.int32(hi_bins << 7)
+    kp = jnp.pad(k.astype(jnp.int32), (0, pad), constant_values=sentinel)
+    vp = jnp.pad(v.astype(jnp.int32), (0, pad))
+    k2 = kp.reshape(-1, _W)
+    v2 = vp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+
+    def kernel(k_ref, v_ref, out_ref, acc_lo, acc_hi):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_lo[...] = jnp.zeros((hi_bins, 128), jnp.int32)
+            acc_hi[...] = jnp.zeros((hi_bins, 128), jnp.int32)
+
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_bins, _W), 0)
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
+        dims = (((1,), (1,)), ((), ()))
+        for r in range(_ROWS):
+            row = k_ref[r, :].reshape(1, _W)
+            val = v_ref[r, :].reshape(1, _W)
+            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+            hi = jnp.where(bad, np.int32(hi_bins), row >> 7)
+            lo = row & 127
+            oh_hi = (jnp.broadcast_to(hi, (hi_bins, _W)) == iota_hi).astype(
+                jnp.int8
+            )
+            oh_lo32 = (
+                jnp.broadcast_to(lo, (128, _W)) == iota_lo
+            ).astype(jnp.int32)
+            blo = (oh_lo32 * jnp.broadcast_to(val & 0x7F, (128, _W))).astype(
+                jnp.int8
+            )
+            bhi = (
+                oh_lo32 * jnp.broadcast_to((val >> 7) & 0x7F, (128, _W))
+            ).astype(jnp.int8)
+            acc_lo[...] += jax.lax.dot_general(
+                oh_hi, blo, dimension_numbers=dims,
+                preferred_element_type=jnp.int32,
+            )
+            acc_hi[...] += jax.lax.dot_general(
+                oh_hi, bhi, dimension_numbers=dims,
+                preferred_element_type=jnp.int32,
+            )
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            out_ref[...] = acc_lo[...] + (acc_hi[...] << 7)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hi_bins, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((hi_bins, 128), jnp.int32),
+            pltpu.VMEM((hi_bins, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(k2, v2)
+    return out.reshape(-1)
+
+
 def weighted_histogram_16k_pallas(k, v, interpret: bool = False):
     """Back-compat alias: 2^14 bins."""
     return weighted_histogram_pallas(k, v, hi_bins=128, interpret=interpret)

@@ -78,7 +78,7 @@ _BIG = np.int32(0x7FFFFFFF)
     jax.jit,
     static_argnames=(
         "capacity", "chunk", "cap_mc", "cap_single", "cap_melems",
-        "interpret",
+        "stats_pallas", "interpret",
     ),
 )
 def filter_sparse(
@@ -89,6 +89,7 @@ def filter_sparse(
     cap_mc: int | None = None,
     cap_single: int | None = None,
     cap_melems: int | None = None,
+    stats_pallas: bool | None = None,
     interpret: bool = False,
 ):
     """Sparsity-adaptive copy_if → (out, count).
@@ -155,13 +156,24 @@ def filter_sparse(
         xp = jnp.where(tail_is_pad, jnp.asarray(threshold, x.dtype), xp)
     nch = xp.shape[0] // chunk
     thr_i = jnp.asarray(threshold, jnp.int32)
-    # XLA's fused row-reduction lowering beats a hand-written Pallas stats
-    # kernel here (see ops/chunk_stats.py docstring)
-    from .chunk_stats import chunk_stats_xla
+    # phase A engine: the streaming MXU-segment-reduction Pallas kernel on
+    # accelerators (2.25x the XLA row reductions at 2^24 on v5e,
+    # scripts/measure_r3.py d1), XLA's fused row reductions on CPU
+    if stats_pallas is None:
+        stats_pallas = on_accel
+    if stats_pallas:
+        from .chunk_stats_pallas import chunk_stats_pallas
 
-    stat, base = chunk_stats_xla(
-        xp.reshape(nch, chunk).astype(jnp.int32), thr_i
-    )
+        stat, base = chunk_stats_pallas(
+            xp.reshape(nch, chunk).astype(jnp.int32), thr_i,
+            interpret=interpret,
+        )
+    else:
+        from .chunk_stats import chunk_stats_xla
+
+        stat, base = chunk_stats_xla(
+            xp.reshape(nch, chunk).astype(jnp.int32), thr_i
+        )
     cnt = stat >> 9
     vsw = stat & 511
     total = (base[-1] + cnt[-1]).astype(jnp.int32)

@@ -24,6 +24,9 @@ BYTES_PER_ROW: Dict[str, float] = {
     "radix": 32.0,
     # read key+val once; dense output negligible
     "groupby": 8.0,
+    # same traffic model at G = 2^16 distinct keys (the BASELINE.json
+    # GroupBy config); kept separate so the bench reports both configs
+    "groupby_big": 8.0,
     # build: sort of (key,id) ≈ 4 passes × 8B r+w ≈ 64B; probe: read 4B +
     # table traffic ≈ 4B
     "join": 72.0,

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+from dwarf_bench_tpu.ops.chunk_stats_pallas import chunk_stats_pallas
 from dwarf_bench_tpu.ops.compact_pallas import emit_prefix_pallas
 
 
@@ -45,6 +46,26 @@ def test_window_encoding_cases():
     assert vsw[0] == 2 and thr - vsw[0] == 3
     assert vsw[1] == 256
     assert np.array_equal(np.asarray(base), [0, 1, 2, 4])
+
+
+@pytest.mark.parametrize(
+    "nch,thr",
+    [
+        (256, 5),
+        (1024, 5000),
+        (300, -100),  # non-block-multiple tail exercises the thr padding
+        (4096, 5),  # exactly one (256, 2048) block
+        (4097, 10000),  # everything matches: cnt == 128 per chunk
+    ],
+)
+def test_stats_pallas_matches_xla(rng, nch, thr):
+    """The streaming MXU kernel is a drop-in for chunk_stats_xla
+    (benchmark-scale perf lives in scripts/measure_r3.py)."""
+    x2 = rng.integers(-10000, 10000, (nch, 128)).astype(np.int32)
+    s0, b0 = chunk_stats_xla(jnp.asarray(x2), thr)
+    s1, b1 = chunk_stats_pallas(jnp.asarray(x2), thr, interpret=True)
+    assert np.array_equal(np.asarray(s0), np.asarray(s1))
+    assert np.array_equal(np.asarray(b0), np.asarray(b1))
 
 
 @pytest.mark.parametrize("l,cap", [(100, 1000), (128, 128), (37, 40)])

@@ -42,3 +42,53 @@ def test_out_of_range_ignored(rng):
     exp = np.bincount(k[300:][k[300:] >= 0], minlength=1 << 14)
     assert np.array_equal(got, exp)
     assert got.sum() == 4700
+
+
+@pytest.mark.parametrize("num_groups", [20, 64, 1000, 4096])
+def test_groupby_small_f32_matches_oracle(rng, num_groups):
+    from dwarf_bench_tpu.ops.groupby import groupby_oracle
+    from dwarf_bench_tpu.ops.groupby_pallas import groupby_small_pallas_f32
+
+    n = 50_000
+    k = rng.integers(0, num_groups, n).astype(np.uint32)
+    v = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    got = np.asarray(
+        groupby_small_pallas_f32(
+            jnp.asarray(k), jnp.asarray(v), num_groups, interpret=True
+        )
+    )
+    assert np.array_equal(got, groupby_oracle(k, v, num_groups))
+
+
+def test_groupby_small_f32_out_of_range_ignored(rng):
+    from dwarf_bench_tpu.ops.groupby import groupby_oracle
+    from dwarf_bench_tpu.ops.groupby_pallas import groupby_small_pallas_f32
+
+    G, n = 64, 20_000
+    k = rng.integers(0, G, n).astype(np.int32)
+    v = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+    k[:50] = -7  # uint32 huge
+    k[50:100] = G  # just out of range (and == the ga*gb sentinel for G=64)
+    got = np.asarray(
+        groupby_small_pallas_f32(
+            jnp.asarray(k), jnp.asarray(v), G, interpret=True
+        )
+    )
+    assert np.array_equal(got, groupby_oracle(k[100:], v[100:], G))
+
+
+def test_groupby_small_f32_exactness_edge(rng):
+    """Worst case for the f32 HIGHEST path: 1024-lane half-rows filled with
+    one group at the max value (2^14 - 1): cell partial = 16,776,192, one
+    ulp under 2^24."""
+    from dwarf_bench_tpu.ops.groupby import groupby_oracle
+    from dwarf_bench_tpu.ops.groupby_pallas import groupby_small_pallas_f32
+
+    G, n = 64, 1 << 15
+    k = np.zeros(n, np.uint32)  # every row in group 0
+    v = np.full(n, (1 << 14) - 1, np.uint32)
+    got = np.asarray(
+        groupby_small_pallas_f32(jnp.asarray(k), jnp.asarray(v), G,
+                                 interpret=True)
+    )
+    assert np.array_equal(got, groupby_oracle(k, v, G))

@@ -62,3 +62,25 @@ def test_full_32bit_values(rng):
     idx = np.array([0, 1, 2, 3, 2], np.int32)
     got = np.asarray(gather_16k(jnp.asarray(table), jnp.asarray(idx)))
     assert np.array_equal(got, table[idx])
+
+
+def test_probe_dense_rel_pallas_matches_xla(rng):
+    import jax.numpy as jnp
+
+    from dwarf_bench_tpu.ops import csr_join
+    from dwarf_bench_tpu.ops.probe_pallas import probe_dense_rel_pallas
+
+    n = 1 << 14
+    A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    B = rng.integers(1, 12000, n, endpoint=True).astype(np.uint32)  # misses
+    t = csr_join.build_dense(jnp.asarray(A))
+    assert bool(t.packed3_ok)
+    ki = (B.astype(np.int64) - int(t.minv)).astype(np.int32)
+    ki[(ki < 0) | (ki >= 1 << 14)] = -1
+    pos, cnt = probe_dense_rel_pallas(
+        t.packed3, t.base128, jnp.asarray(ki), interpret=True
+    )
+    ref = csr_join.probe_dense(t, jnp.asarray(B))
+    assert np.array_equal(np.asarray(cnt), np.asarray(ref.counts))
+    assert np.array_equal(np.asarray(pos), np.asarray(ref.pos))
+    assert np.array_equal(np.asarray(cnt) > 0, np.asarray(ref.found))
