@@ -22,6 +22,15 @@ took ops/reduce.reduce_sum_pallas to 755 GB/s instead:
 The exclusive output-offset prefix (``base``) stays outside: it is a
 cumsum over nch = n/128 elements (~23 us at 2^24 via XLA), not worth a
 carry in this kernel.
+
+STATUS (measured, v5e): 0.22 ms standalone vs 0.50 ms for the XLA form at
+2^24 — but 0.53 vs 0.38 ms for the FULL filter_sparse (measure_r3b.py
+e1): XLA fuses its stats pass into the classification consumers, while
+this kernel forces a materialize + extra dispatches. filter_sparse
+therefore defaults to the XLA form; this kernel stays addressable via
+``filter_sparse(..., stats_pallas=True)`` and is the starting point for a
+future whole-phase-A mega-fusion (stats + classification + compaction
+cursors in one carry-buffer kernel).
 """
 
 from __future__ import annotations

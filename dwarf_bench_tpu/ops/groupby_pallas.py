@@ -62,10 +62,15 @@ def groupby_small_pallas_f32(
     num_groups: int,
     interpret: bool = False,
 ):
-    """Single-f32-plane variant of ``groupby_small_pallas``: instead of two
-    7-bit bf16 value planes (two masked (ga, W) multiplies + two dots per
-    row), the value rides ONE f32 select into the hi one-hot and ONE
-    dot_general at Precision.HIGHEST per 1024-lane half-row.
+    """Single-f32-plane variant of ``groupby_small_pallas`` — MEASURED AND
+    REJECTED (0.327 vs 0.280 ms at G=64, 2^22: the HIGHEST-precision dot
+    costs more MXU passes than the saved VPU value plane, measure_r3.py
+    d2). Kept as the documented i1-relayout-free f32 select pattern.
+
+    Instead of two 7-bit bf16 value planes (two masked (ga, W) multiplies
+    + two dots per row), the value rides ONE f32 select into the hi
+    one-hot and ONE dot_general at Precision.HIGHEST per 1024-lane
+    half-row.
 
     Exactness: products are onehot * v with v < 2^14 (exact under HIGHEST's
     bf16x3 operand split, 24 mantissa bits); each half-row dot cell sums at
@@ -149,28 +154,40 @@ def groupby_small_pallas_f32(
     return out.reshape(-1)[:num_groups].astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "interpret"))
+@partial(jax.jit, static_argnames=("num_groups", "rows", "w", "interpret"))
 def groupby_small_pallas(
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_groups: int,
+    rows: int = 32,
+    w: int = 4096,
     interpret: bool = False,
 ):
     """(num_groups,) uint32 per-group sums of ``v`` for keys in
-    [0, num_groups), num_groups <= 4096. PRECONDITION: 0 <= v < 2^14."""
+    [0, num_groups), num_groups <= 4096. PRECONDITION: 0 <= v < 2^14.
+
+    Block shape (rows=32, w=4096) and sentinel padding are measured
+    winners: the R/W sweep gave 0.232 ms at G=64, 2^22 vs 0.287 for the
+    round-1 (8, 2048) block with per-element index masks, and the R=64
+    point regressed 2.4x (measure_r3b.py e3, measure_r3c.py f1). Padding
+    keys carry ``ga << shift`` — the smallest uint32 the out-of-range
+    route rejects — so no index masking is needed anywhere."""
     ga, gb = _digit_split(num_groups)
     shift = int(np.log2(gb))
+    sentinel = np.uint32(ga << shift)
+    # per-BLOCK f32 plane partials must stay exact: 127 * rows * w < 2^24
+    # (32 * 4096 * 127 = 16,646,144 — just under; any larger block wraps)
+    assert 127 * rows * w < (1 << 24), (rows, w)
     n = k.shape[0]
-    block = _ROWS * _W
+    block = rows * w
     pad = (-n) % block
-    kp = jnp.pad(k.astype(jnp.int32), (0, pad))
+    kp = jnp.pad(k.astype(jnp.uint32), (0, pad), constant_values=sentinel)
     vp = jnp.pad(v.astype(jnp.int32), (0, pad))
-    k2 = kp.reshape(-1, _W)
-    v2 = vp.reshape(-1, _W)
+    k2 = kp.astype(jnp.int32).reshape(-1, w)
+    v2 = vp.reshape(-1, w)
     nblocks = (n + pad) // block
-    n_arr = jnp.full((1,), n, jnp.int32)
 
-    def kernel(n_ref, k_ref, v_ref, out_ref, acc_int):
+    def kernel(k_ref, v_ref, out_ref, acc_int):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -179,32 +196,27 @@ def groupby_small_pallas(
 
         blk_lo = jnp.zeros((ga, gb), jnp.float32)
         blk_hi = jnp.zeros((ga, gb), jnp.float32)
-        base = i * block
-        nn = n_ref[0]
-        iota_a = jax.lax.broadcasted_iota(jnp.int32, (ga, _W), 0)
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (gb, _W), 0)
-        for r in range(_ROWS):
-            row = k_ref[r, :].reshape(1, _W)
-            val = v_ref[r, :].reshape(1, _W)
-            idx = base + r * _W + jax.lax.broadcasted_iota(
-                jnp.int32, (1, _W), 1
-            )
-            # padding and out-of-range keys (uint32 >= G) route the hi digit
-            # to the sentinel ga, which matches no iota row
-            bad = (idx >= nn) | (row < 0) | (row >= num_groups)
-            hi = jnp.where(bad, ga, row >> shift)
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (ga, w), 0)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (gb, w), 0)
+        dims = (((1,), (1,)), ((), ()))
+        for r in range(rows):
+            row = k_ref[r, :].reshape(1, w)
+            val = v_ref[r, :].reshape(1, w)
+            # out-of-range keys (uint32 >= ga*gb, incl. padding sentinel
+            # and negatives) route the hi digit past every iota row
+            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+            hi = jnp.where(bad, np.int32(ga), row >> shift)
             lo = row & (gb - 1)
-            oh_a = (jnp.broadcast_to(hi, (ga, _W)) == iota_a).astype(
+            oh_a = (jnp.broadcast_to(hi, (ga, w)) == iota_a).astype(
                 jnp.bfloat16
             )
-            oh_b = (jnp.broadcast_to(lo, (gb, _W)) == iota_b).astype(
+            oh_b = (jnp.broadcast_to(lo, (gb, w)) == iota_b).astype(
                 jnp.bfloat16
             )
             vlo = jnp.broadcast_to((val & 0x7F).astype(jnp.bfloat16),
-                                   (ga, _W))
+                                   (ga, w))
             vhi = jnp.broadcast_to(((val >> 7) & 0x7F).astype(jnp.bfloat16),
-                                   (ga, _W))
-            dims = (((1,), (1,)), ((), ()))
+                                   (ga, w))
             blk_lo = blk_lo + jax.lax.dot_general(
                 oh_a * vlo, oh_b, dimension_numbers=dims,
                 preferred_element_type=jnp.float32,
@@ -226,15 +238,14 @@ def groupby_small_pallas(
         kernel,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ga, gb), jnp.int32),
         scratch_shapes=[pltpu.VMEM((ga, gb), jnp.int32)],
         interpret=interpret,
-    )(n_arr, k2, v2)
+    )(k2, v2)
     return out.reshape(-1)[:num_groups].astype(jnp.uint32)

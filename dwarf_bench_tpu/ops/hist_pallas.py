@@ -33,45 +33,58 @@ _ROWS = 8
 _W = 2048  # lanes per sublane row per block
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def histogram_16k_pallas(k: jnp.ndarray, interpret: bool = False):
-    """(16384,) int32 histogram of int32/uint32 keys; out-of-range keys
-    (uint32 value >= 2^14) are ignored. Drop-in for sort.histogram_16k."""
-    n = k.shape[0]
-    block = _ROWS * _W
-    pad = (-n) % block
-    kp = jnp.pad(k.astype(jnp.int32), (0, pad))
-    k2 = kp.reshape(-1, _W)  # (nblocks*8, W)
-    nblocks = (n + pad) // block
-    n_arr = jnp.full((1,), n, jnp.int32)
+_HIST_ROWS = 8  # block sublane rows (overridable per call — see below)
 
-    def kernel(n_ref, k_ref, out_ref, acc_ref):
+
+@partial(jax.jit, static_argnames=("hi_bins", "rows", "interpret"))
+def histogram_16k_pallas(
+    k: jnp.ndarray,
+    hi_bins: int = 128,
+    rows: int = _HIST_ROWS,
+    interpret: bool = False,
+):
+    """(hi_bins * 128,) int32 histogram of int32/uint32 keys; out-of-range
+    keys (uint32 value >= hi_bins * 128) are ignored. Drop-in for
+    sort.histogram_16k at hi_bins=128.
+
+    ``hi_bins`` sizes the hi-digit one-hot: the kernel is VPU-bound on
+    one-hot construction (hi_bins + 128 compares/element — int16/int8/bf16
+    compares do NOT lower in Mosaic, measure_r3.py d4), so narrow key
+    spans pay proportionally less (hi_bins=80 for spans <= 10240, e.g. the
+    benchmark's [1, 10000] columns: 0.61 vs 0.77 ms at 2^22,
+    measure_r3b.py e2). Padding rides the ``hi_bins << 7`` sentinel
+    (out-of-range by construction) instead of per-element index masks."""
+    assert hi_bins % 8 == 0 and hi_bins <= 128
+    n = k.shape[0]
+    block = rows * _W
+    pad = (-n) % block
+    sentinel = np.int32(hi_bins << 7)
+    kp = jnp.pad(k.astype(jnp.int32), (0, pad), constant_values=sentinel)
+    k2 = kp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+
+    def kernel(k_ref, out_ref, acc_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            acc_ref[...] = jnp.zeros((128, 128), jnp.int32)
+            acc_ref[...] = jnp.zeros((hi_bins, 128), jnp.int32)
 
-        base = i * block
-        nn = n_ref[0]
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
-        for r in range(_ROWS):
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (hi_bins, _W), 0)
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
+        for r in range(rows):
             row = k_ref[r, :].reshape(1, _W)
-            # global index of element (r, lane) in this block
-            idx = base + r * _W + jax.lax.broadcasted_iota(
-                jnp.int32, (1, _W), 1
-            )
-            # uint32 >= 2^14 → hi outside [0, 128) → counts nowhere; route
-            # padding the same way
-            hi = jnp.where(idx < nn, (row >> 7) & 0x01FFFFFF, 128)
-            hi = jnp.where(row < 0, 128, hi)
+            # uint32 >= hi_bins*128 (negatives, sentinels, padding) routes
+            # hi past every iota row -> counts nowhere
+            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+            hi = jnp.where(bad, np.int32(hi_bins), row >> 7)
             lo = row & 127
             # int8 one-hots: the int8 MXU path is ~2x bf16 and accumulates
             # straight into int32 (no f32 exactness bound at all)
-            oh_hi = (jnp.broadcast_to(hi, (128, _W)) == sub_iota).astype(
+            oh_hi = (jnp.broadcast_to(hi, (hi_bins, _W)) == iota_hi).astype(
                 jnp.int8
             )
-            oh_lo = (jnp.broadcast_to(lo, (128, _W)) == sub_iota).astype(
+            oh_lo = (jnp.broadcast_to(lo, (128, _W)) == iota_lo).astype(
                 jnp.int8
             )
             acc_ref[...] += jax.lax.dot_general(
@@ -89,15 +102,14 @@ def histogram_16k_pallas(k: jnp.ndarray, interpret: bool = False):
         kernel,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+            pl.BlockSpec((rows, _W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((128, 128), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((hi_bins, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((hi_bins, 128), jnp.int32)],
         interpret=interpret,
-    )(n_arr, k2)
+    )(k2)
     return out.reshape(-1)
 
 

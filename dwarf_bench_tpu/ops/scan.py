@@ -99,12 +99,14 @@ def filter_sparse(
     full streaming compaction does O(log tile) vector passes per element to
     move almost nothing. This engine is near read-bound at low selectivity:
 
-      phase A (ONE fused streaming pass, ops/chunk_stats_pallas): per-128
-        chunk match counts, window-clipped match sums, and the exclusive
-        running output offset (carried across the sequential grid), with
-        the per-chunk reductions on the MXU. A chunk with exactly one
-        match inside the 255-wide window below the threshold needs no
-        second read — its value is ``threshold - vsum``.
+      phase A (ONE fused streaming pass, ops/chunk_stats — XLA's fused
+        row reductions; a Pallas MXU variant exists in
+        ops/chunk_stats_pallas but measured slower END TO END, see the
+        dispatch comment below): per-128-chunk match counts,
+        window-clipped match sums, and the exclusive output offset. A
+        chunk with exactly one match inside the 255-wide window below the
+        threshold needs no second read — its value is
+        ``threshold - vsum``.
       phase B (tiny): the rare chunks with ≥ 2 matches (expected
         (chunk·sel)²/2 per chunk) — plus any single-match chunk whose value
         fell outside the window — are compacted to a ≤``cap_mc`` id list,
@@ -156,11 +158,14 @@ def filter_sparse(
         xp = jnp.where(tail_is_pad, jnp.asarray(threshold, x.dtype), xp)
     nch = xp.shape[0] // chunk
     thr_i = jnp.asarray(threshold, jnp.int32)
-    # phase A engine: the streaming MXU-segment-reduction Pallas kernel on
-    # accelerators (2.25x the XLA row reductions at 2^24 on v5e,
-    # scripts/measure_r3.py d1), XLA's fused row reductions on CPU
+    # phase A engine: XLA's fused row reductions by default. The streaming
+    # MXU Pallas kernel (ops/chunk_stats_pallas) wins STANDALONE (0.22 vs
+    # 0.50 ms at 2^24, measure_r3.py d1) but loses END TO END (0.53 vs
+    # 0.38 ms, measure_r3b.py e1): XLA fuses the stats pass with the
+    # single/multi classification consumers, while the Pallas call forces
+    # a materialize + ~2 extra small-kernel dispatches (~0.065 ms each).
     if stats_pallas is None:
-        stats_pallas = on_accel
+        stats_pallas = False
     if stats_pallas:
         from .chunk_stats_pallas import chunk_stats_pallas
 

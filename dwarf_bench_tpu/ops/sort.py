@@ -39,24 +39,30 @@ def sort_xla(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.sort(x)
 
 
-@jax.jit
-def histogram_16k(k: jnp.ndarray) -> jnp.ndarray:
-    """Exact 16384-bin histogram of int32 keys in [0, 2^14) via bf16 one-hot
-    matmuls on the MXU (values >= 2^14, e.g. padding, count nowhere).
+@partial(jax.jit, static_argnames=("hi_bins",))
+def histogram_16k(k: jnp.ndarray, hi_bins: int = 128) -> jnp.ndarray:
+    """Exact hi_bins*128-bin histogram of int32 keys in [0, hi_bins*128)
+    via bf16 one-hot matmuls on the MXU (out-of-range keys, e.g. padding,
+    count nowhere).
 
     counts[hi, lo] = #rows with k>>7 == hi and k&127 == lo, computed per
-    8192-row tile as onehot_hi^T (128, T) @ onehot_lo (T, 128) — 0/1 operands
-    are exact in bf16 and per-tile partials < 2^24 are exact in the f32
-    accumulator; tile partials are summed in int32. Returns (16384,) int32,
-    hi-major (bin b = counts[b >> 7, b & 127])."""
+    8192-row tile as onehot_hi^T (hi_bins, T) @ onehot_lo (T, 128) — 0/1
+    operands are exact in bf16 and per-tile partials < 2^24 are exact in
+    the f32 accumulator; tile partials are summed in int32. Returns
+    (hi_bins * 128,) int32, hi-major (bin b = counts[b >> 7, b & 127])."""
     n = k.shape[0]
     pad = (-n) % _HIST_TILE
-    kp = jnp.pad(k, (0, pad), constant_values=np.int32(1 << _RANGE_BITS))
+    sentinel = np.int32(hi_bins << 7)
+    kp = jnp.pad(k, (0, pad), constant_values=sentinel)
     kt = kp.reshape(-1, _HIST_TILE)
+    cols_hi = jnp.arange(hi_bins, dtype=jnp.int32)
     cols = jnp.arange(128, dtype=jnp.int32)
 
     def tile_partial(kt_i):
-        oh_hi = ((kt_i >> 7)[:, None] == cols[None, :]).astype(jnp.bfloat16)
+        # uint32 >= hi_bins*128 routes hi past every one-hot column
+        bad = kt_i.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+        hi = jnp.where(bad, hi_bins, kt_i >> 7)
+        oh_hi = (hi[:, None] == cols_hi[None, :]).astype(jnp.bfloat16)
         oh_lo = ((kt_i & 127)[:, None] == cols[None, :]).astype(jnp.bfloat16)
         c = jax.lax.dot_general(
             oh_hi, oh_lo,
@@ -65,7 +71,7 @@ def histogram_16k(k: jnp.ndarray) -> jnp.ndarray:
         )
         return c.astype(jnp.int32)
 
-    partials = jax.vmap(tile_partial)(kt)  # (tiles, 128, 128)
+    partials = jax.vmap(tile_partial)(kt)  # (tiles, hi_bins, 128)
     return jnp.sum(partials, axis=0, dtype=jnp.int32).reshape(-1)
 
 
@@ -91,20 +97,22 @@ def _expand_runs(counts: jnp.ndarray, n: int, shift=0) -> jnp.ndarray:
     return cumsum_pallas(s, carry_init=shift - 1)
 
 
-def histogram_dispatch(k: jnp.ndarray) -> jnp.ndarray:
+def histogram_dispatch(k: jnp.ndarray, hi_bins: int = 128) -> jnp.ndarray:
     """histogram_16k semantics; fused Pallas kernel on accelerators, the
     XLA one-hot formulation on CPU (trace-time choice)."""
     if jax.default_backend() == "cpu":
-        return histogram_16k(k)
+        return histogram_16k(k, hi_bins=hi_bins)
     from .hist_pallas import histogram_16k_pallas
 
-    return histogram_16k_pallas(k)
+    return histogram_16k_pallas(k, hi_bins=hi_bins)
 
 
-def _sort_counting_shifted(x: jnp.ndarray, minv) -> jnp.ndarray:
+def _sort_counting_shifted(
+    x: jnp.ndarray, minv, hi_bins: int = 128
+) -> jnp.ndarray:
     n = x.shape[0]
     k = (x - minv).astype(jnp.int32)
-    counts = histogram_dispatch(k)
+    counts = histogram_dispatch(k, hi_bins=hi_bins)
     return _expand_runs(
         counts, n, shift=minv.astype(jnp.int32)
     ).astype(x.dtype)
@@ -118,11 +126,17 @@ def sort_counting(x: jnp.ndarray) -> jnp.ndarray:
     return _sort_counting_shifted(x, jnp.min(x))
 
 
+_NARROW_BINS = 80 * 128  # the benchmark's [1, 10000] spans land here
+
+
 @jax.jit
 def sort_auto(x: jnp.ndarray) -> jnp.ndarray:
     """Range-adaptive sort: distribution sort when the value range fits
-    2^14 bins, XLA's comparison sort otherwise. The range check is one fused
-    min/max pass; ``lax.cond`` executes only the taken branch per call."""
+    2^14 bins (with a narrower 80*128-bin histogram when the span allows —
+    the one-hot construction is the VPU floor, so fewer hi bins are
+    proportionally cheaper: 0.61 vs 0.77 ms at 2^22, measure_r3b.py e2),
+    XLA's comparison sort otherwise. The range check is one fused min/max
+    pass; ``lax.cond`` executes only the taken branch per call."""
     if x.shape[0] == 0:
         return x
     minv = jnp.min(x)
@@ -130,11 +144,15 @@ def sort_auto(x: jnp.ndarray) -> jnp.ndarray:
     # max - min in uint32 is exact for any int32 pair (the true difference
     # is in [0, 2^32)); int64 is unavailable without x64 mode.
     diff = maxv.astype(jnp.uint32) - minv.astype(jnp.uint32)
-    narrow = diff < jnp.uint32(1 << _RANGE_BITS)
     return jax.lax.cond(
-        narrow,
-        lambda v: _sort_counting_shifted(v, minv),
-        lambda v: jax.lax.sort(v),
+        diff < jnp.uint32(_NARROW_BINS),
+        lambda v: _sort_counting_shifted(v, minv, hi_bins=80),
+        lambda v: jax.lax.cond(
+            diff < jnp.uint32(1 << _RANGE_BITS),
+            lambda w: _sort_counting_shifted(w, minv, hi_bins=128),
+            lambda w: jax.lax.sort(w),
+            v,
+        ),
         x,
     )
 
