@@ -62,23 +62,45 @@ def _queue_k(fn, args, k) -> float:
     return time.perf_counter() - t0
 
 
+_MIN_DIFF_S = 0.2  # exec-time spread between depths must dwarf jitter
+_MAX_DEPTH = 100_000
+
+
 def time_amortized(fn: Callable, *args, k: int = 8, warmup: int = 1) -> float:
     """Per-execution seconds via the queue-k pattern (see module docstring):
     the slope between two queue depths cancels dispatch and the sync
     roundtrip even for kernels far below the roundtrip latency.
-    ``fn(*args)`` must be jitted and shape-stable."""
+    ``fn(*args)`` must be jitted and shape-stable.
+
+    Robustness: the tunnel's sync roundtrip jitters by milliseconds run to
+    run, and the jitter divides only by (k2 - k1) — with shallow queues a
+    sub-ms kernel can read 5-10x fast OR slow (round-2 bench once printed
+    a 310 Grows/s scan, above the HBM read bound). The loop therefore
+    DEEPENS the queues until the implied pure-execution spread between the
+    two depths is >= 0.2 s (>= ~50x the observed jitter); the reading's
+    jitter error is then a few percent. Kernels slower than ~25 ms meet
+    the bar on the first pass; ~0.3 ms kernels settle around depth ~1000
+    (~1 s of measurement)."""
     for _ in range(max(warmup, 1)):
         sync(fn(*args))  # compile + warm
+    # CPU backends have microsecond-level sync jitter: a 2 ms spread
+    # suffices and keeps the (cached-per-size) test-suite measurements fast
+    min_diff = 0.002 if jax.default_backend() == "cpu" else _MIN_DIFF_S
     k1, k2 = k, 5 * k
-    # Robustness: network jitter on the tunnel can make T_k1 ≈ T_k2 and the
-    # slope collapse to ~0 (observed once as a 4e15 rows/s reading). A
-    # degenerate slope (< 0.1 µs/exec — physically impossible at benchmark
-    # sizes) triggers a re-measure; after three strikes, the deep-queue
-    # average (true time + one sync roundtrip / k2) is the safe answer.
-    for _ in range(3):
+    slope = None
+    for _ in range(6):
         t1 = min(_queue_k(fn, args, k1) for _ in range(2))
         t2 = min(_queue_k(fn, args, k2) for _ in range(2))
         slope = (t2 - t1) / (k2 - k1)
-        if slope >= 1e-7:
+        if slope >= 1e-7 and slope * (k2 - k1) >= min_diff:
             return slope
-    return max(t2 / k2, 1e-9)
+        if k2 >= _MAX_DEPTH:
+            break
+        # estimate per-exec time to size the next depths; t2/k2 bounds it
+        # from above (includes one roundtrip / k2), a degenerate slope
+        # from below — use the larger to avoid overshooting the depth
+        est = max(slope, t2 / k2 / 4, 1e-6)
+        diff = min(int(min_diff / est) + 1, _MAX_DEPTH)
+        k1 = max(k, diff // 4)
+        k2 = min(k1 + diff, _MAX_DEPTH)
+    return max(slope if slope and slope > 0 else t2 / k2, 1e-9)

@@ -106,6 +106,18 @@ class TestSortReduce:
             sort.sort_oracle(just_wide),
         )
 
+    def test_sort_auto_narrow_bins_boundary(self, rng):
+        # the 80-bin histogram branch switches at span 80*128 = 10240:
+        # pin both sides of the cliff (span 10239 -> hi80, 10240 -> hi128)
+        for span in (sort._NARROW_BINS - 1, sort._NARROW_BINS,
+                     sort._NARROW_BINS + 1):
+            x = rng.integers(0, span, 20_000, endpoint=True).astype(np.int32)
+            x[0], x[1] = 0, span  # force the exact span
+            assert np.array_equal(
+                np.asarray(sort.sort_auto(jnp.asarray(x))),
+                sort.sort_oracle(x),
+            ), span
+
     def test_reduce_wraps_like_int32(self, rng):
         x = rng.integers(1, 10000, 1_000_000, endpoint=True).astype(np.int32)
         assert int(np.int32(np.asarray(red.reduce_sum(jnp.asarray(x))))) == \
