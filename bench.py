@@ -38,6 +38,10 @@ def _time_op(fn, *args, k=8):
 def main() -> None:
     import jax
 
+    from dwarf_bench_tpu.common.device import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from dwarf_bench_tpu.ops import csr_join, groupby, scan, sort
     from dwarf_bench_tpu.utils.roofline import (
         BYTES_PER_ROW,

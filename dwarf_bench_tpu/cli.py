@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from .common.device import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     registry = populate_registry()
     args = build_parser().parse_args(argv)
 

@@ -10,11 +10,36 @@ follows data placement — no process-global env mutation needed.
 from __future__ import annotations
 
 import functools
+import os
+import pathlib
 from typing import Optional
 
 import jax
 
 from .options import DeviceType
+
+
+def enable_persistent_compile_cache() -> Optional[str]:
+    """Turn on JAX's persistent compilation cache for this process.
+
+    Remote compiles on the tunneled TPU cost 10 s – 10 min per shape; the
+    axon PJRT plugin supports executable serialization (verified: cache
+    entries round-trip), so a persistent cache turns every repeat shape —
+    across processes — into a ~second deserialize. Default location is
+    ``<repo>/.jax_cache`` (so benchmark sweeps, the CLI, and bench.py share
+    entries); override with ``JAX_COMPILATION_CACHE_DIR``. No-op if the
+    directory cannot be created."""
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not path:
+        path = str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # remote compiles dwarf the entry-write cost at any compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        return None
+    return path
 
 
 @functools.lru_cache(maxsize=None)

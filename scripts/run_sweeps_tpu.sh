@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Driver for the reference sweeps on the tunneled TPU: one CLI invocation
+# per (dwarf, size) so every completed size appends its rows to the CSV
+# immediately (the report is written at process exit — a single multi-size
+# run that dies loses everything through the tunnel). The persistent
+# compile cache (.jax_cache) makes restarts cheap: already-compiled sizes
+# re-run at execution speed.
+#
+# Usage: scripts/run_sweeps_tpu.sh <dwarf> <csv> <iterations> <size...>
+set -u
+DWARF="$1"; CSV="$2"; ITER="$3"; shift 3
+for SZ in "$@"; do
+  # skip sizes already recorded (restart-friendly); the CSV's second
+  # column is buf_size_BYTES = elements * sizeof(int)
+  BYTES=$((SZ * 4))
+  if [ -f "$CSV" ] && grep -q "^[^,]*,${BYTES}," "$CSV"; then
+    echo "skip ${DWARF} ${SZ} (already in ${CSV})"; continue
+  fi
+  echo "=== ${DWARF} size ${SZ} ==="
+  timeout 1500 python -m dwarf_bench_tpu "$DWARF" --device=tpu \
+    --input_size "$SZ" --report_path="$CSV" --iterations="$ITER" \
+    || echo "FAILED ${DWARF} ${SZ} (rc $?)"
+done
