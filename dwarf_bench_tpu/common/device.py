@@ -28,7 +28,15 @@ def enable_persistent_compile_cache() -> Optional[str]:
     across processes — into a ~second deserialize. Default location is
     ``<repo>/.jax_cache`` (so benchmark sweeps, the CLI, and bench.py share
     entries); override with ``JAX_COMPILATION_CACHE_DIR``. No-op if the
-    directory cannot be created."""
+    directory cannot be created.
+
+    Accelerator backends only: XLA:CPU caches AOT machine code keyed on
+    host CPU features (plus pseudo-features like prefer-no-scatter that
+    differ between plugin configurations), so cross-process CPU cache loads
+    warn about feature mismatches and risk SIGILL on a different host —
+    and local CPU compiles are fast enough not to need caching."""
+    if jax.default_backend() == "cpu":
+        return None
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not path:
         path = str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache")

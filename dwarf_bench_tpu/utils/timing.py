@@ -16,6 +16,7 @@ CL_PROFILING_COMMAND_START/END (scan/scan.cpp:142-154).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable
 
@@ -86,6 +87,13 @@ def time_amortized(fn: Callable, *args, k: int = 8, warmup: int = 1) -> float:
     # CPU backends have microsecond-level sync jitter: a 2 ms spread
     # suffices and keeps the (cached-per-size) test-suite measurements fast
     min_diff = 0.002 if jax.default_backend() == "cpu" else _MIN_DIFF_S
+    # wall-clock budget: at µs-level kernels the jitter bar needs queue
+    # depths whose ENQUEUE cost (Python dispatch × depth) dominates; past
+    # the budget the deep-queue average is already dispatch-dominated and
+    # more depth cannot improve it — return best effort instead of stalling
+    # a sweep for minutes per size
+    t_budget = float(os.environ.get("DBT_TIMING_BUDGET_S", "6"))
+    t_begin = time.perf_counter()
     k1, k2 = k, 5 * k
     slope = None
     for _ in range(6):
@@ -95,6 +103,8 @@ def time_amortized(fn: Callable, *args, k: int = 8, warmup: int = 1) -> float:
         if slope >= 1e-7 and slope * (k2 - k1) >= min_diff:
             return slope
         if k2 >= _MAX_DEPTH:
+            break
+        if time.perf_counter() - t_begin > t_budget:
             break
         # estimate per-exec time to size the next depths; t2/k2 bounds it
         # from above (includes one roundtrip / k2), a degenerate slope
