@@ -44,6 +44,14 @@ class Dwarf(abc.ABC):
                 opts.report_path,
                 extended=getattr(opts, "extended_report", False),
             )
+            # the reference-schema CSV has no validity column; surface the
+            # per-run oracle outcome on stderr so sweep logs carry the
+            # correctness evidence alongside the timing artifact
+            import sys
+
+            n = len(self._results)
+            nv = sum(1 for r in self._results if r.result.valid)
+            print(f"[{self._name}] {nv}/{n} runs valid", file=sys.stderr)
 
     def meter(self) -> Meter:
         return self._meter

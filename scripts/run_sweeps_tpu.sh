@@ -16,8 +16,10 @@ for SZ in "$@"; do
   if [ -f "$CSV" ] && grep -q "^[^,]*,${BYTES}," "$CSV"; then
     echo "skip ${DWARF} ${SZ} (already in ${CSV})"; continue
   fi
-  echo "=== ${DWARF} size ${SZ} ==="
+  LOG="${CSV%.csv}.log"
+  echo "=== ${DWARF} size ${SZ} ===" | tee -a "$LOG"
   timeout 1500 python -m dwarf_bench_tpu "$DWARF" --device=tpu \
     --input_size "$SZ" --report_path="$CSV" --iterations="$ITER" \
-    || echo "FAILED ${DWARF} ${SZ} (rc $?)"
+    2> >(grep -v "xla_bridge" | tee -a "$LOG" >&2) \
+    || echo "FAILED ${DWARF} ${SZ} (rc $?)" | tee -a "$LOG"
 done
