@@ -154,3 +154,14 @@ class TestExtendedCsv:
         lines = open(path).read().strip().split("\n")
         assert lines[0].endswith(",rows_per_s")
         assert lines[1].endswith(",1000000")  # 1000 rows / 1ms
+
+
+class TestCompileCache:
+    def test_disabled_on_cpu_backend(self):
+        # XLA:CPU AOT cache entries are host-feature-keyed and warn/risk
+        # SIGILL across plugin configs; the helper must refuse on CPU
+        from dwarf_bench_tpu.common.device import (
+            enable_persistent_compile_cache,
+        )
+
+        assert enable_persistent_compile_cache() is None
