@@ -92,9 +92,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    from .common.device import enable_persistent_compile_cache
-
-    enable_persistent_compile_cache()
     registry = populate_registry()
     args = build_parser().parse_args(argv)
 
@@ -103,6 +100,19 @@ def main(argv=None) -> int:
         for name, _ in registry:
             print(f"\t{name}")
         return 0
+
+    # Enable the persistent compile cache only for accelerator runs, and
+    # only after argparse: enable_persistent_compile_cache() consults
+    # jax.default_backend(), which initializes the backend (tunnel/TPU
+    # plugin setup) — `list` and --device=cpu invocations must not pay or
+    # block on remote backend init, and a cpu run on an accelerator-default
+    # machine must not persist host-feature-keyed XLA:CPU executables.
+    from .common.options import DeviceType
+
+    if parse_device_type(args.device) != DeviceType.CPU:
+        from .common.device import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
 
     dwarf = registry.find(args.dwarf)
     if dwarf is None:

@@ -34,7 +34,14 @@ def enable_persistent_compile_cache() -> Optional[str]:
     host CPU features (plus pseudo-features like prefer-no-scatter that
     differ between plugin configurations), so cross-process CPU cache loads
     warn about feature mismatches and risk SIGILL on a different host —
-    and local CPU compiles are fast enough not to need caching."""
+    and local CPU compiles are fast enough not to need caching.
+
+    The gate below checks the DEFAULT backend, and the cache config is
+    process-global: in a process whose default backend is an accelerator
+    but which also compiles for the host (device placement is per-array in
+    this framework), XLA:CPU executables land in the cache too. Callers on
+    known-CPU-only paths therefore skip this call entirely (cli.py gates on
+    the requested --device before touching the backend)."""
     if jax.default_backend() == "cpu":
         return None
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
