@@ -48,6 +48,121 @@ _SEG = _W // 128  # 128-lane chunks per sublane row
 
 
 @partial(jax.jit, static_argnames=("interpret",))
+def chunk_stats_fused(x2: jnp.ndarray, threshold, interpret: bool = False):
+    """chunk_stats_xla semantics in ONE kernel, ``base`` included.
+
+    Differences from ``chunk_stats_pallas`` (round-2, kept below):
+
+      * ONE segment matmul instead of two: the per-element operand packs
+        the match bit above the window encoding — ``vclip + 65536·m`` —
+        so a chunk's f32 partial is ``cnt·65536 + vsum`` ≤ 128·65792
+        < 2^24 (exact; vsum itself can reach 2^15, hence the 2^16 slot).
+        Operands are ≤ 65792 (17 bits), so the dot runs at
+        Precision.HIGHEST (bf16x3 carries 24 mantissa bits); the MAC
+        count is 16·6/element — still noise.
+      * the exclusive output-offset prefix (``base``) rides the same
+        kernel: within-row lane prefix + cross-row offsets are two tiny
+        triangular matmuls (the ops/cumsum_pallas pattern) and an int32
+        carry scalar in SMEM links the sequential grid — no separate XLA
+        cumsum dispatch over nch elements.
+
+    Returns (stat, base), (nch,) int32 each — drop-in for chunk_stats_xla.
+    """
+    nch = x2.shape[0]
+    thr = jnp.asarray(threshold, jnp.int32)
+    flat = x2.reshape(-1)
+    n = flat.shape[0]
+    block = _R * _W
+    pad = (-n) % block
+    xp = jnp.pad(flat, (0, pad), constant_values=thr)
+    xr = xp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+
+    def kernel(thr_ref, x_ref, stat_ref, base_ref,
+               seg_ref, ut_ref, lt_ref, carry_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_W, _SEG), 0)
+            segj = jax.lax.broadcasted_iota(jnp.int32, (_W, _SEG), 1)
+            seg_ref[...] = ((lane >> 7) == segj).astype(jnp.float32)
+            sa = jax.lax.broadcasted_iota(jnp.int32, (_SEG, _SEG), 0)
+            sb = jax.lax.broadcasted_iota(jnp.int32, (_SEG, _SEG), 1)
+            ut_ref[...] = (sa <= sb).astype(jnp.float32)
+            ra = jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 0)
+            rb = jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 1)
+            lt_ref[...] = (ra > rb).astype(jnp.float32)
+            carry_ref[0] = 0
+
+        t = thr_ref[0]
+        x = x_ref[...]
+        # window encoding (chunk_stats_xla): d = clip(t - max(x, t-512),
+        # 0, 256); non-matches contribute 0. Pack the match bit at 2^16:
+        # a chunk's window sum can reach exactly 128·256 = 2^15, so a
+        # 2^15 packing would overflow into the count field.
+        d = t - jnp.maximum(x, t - 512)
+        vclip = jnp.clip(d, 0, 256)
+        packed = jnp.where(x < t, vclip + 65536, vclip).astype(jnp.float32)
+        p = jax.lax.dot_general(
+            packed, seg_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)  # (R, SEG): cnt·2^16 + vsum, exact (< 2^24)
+        cnt = p >> 16
+        vs = jnp.minimum(p & 65535, 511)
+        stat_ref[...] = cnt * 512 + vs
+
+        cf = cnt.astype(jnp.float32)
+        incl = jax.lax.dot_general(
+            cf, ut_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # within-row inclusive prefix over the 16 chunk lanes
+        totals = incl[:, _SEG - 1:]  # (R, 1)
+        ro = jax.lax.dot_general(
+            lt_ref[...], totals, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, 1) sum of earlier rows
+        base_ref[...] = (
+            incl.astype(jnp.int32) + ro.astype(jnp.int32)
+            - cnt + carry_ref[0]
+        )
+        carry_ref[0] = carry_ref[0] + (
+            incl[_R - 1, _SEG - 1] + ro[_R - 1, 0]
+        ).astype(jnp.int32)
+
+    thr_arr = jnp.full((1,), thr, jnp.int32)
+    stat, base = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_R, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_R, _SEG), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_R, _SEG), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks * _R, _SEG), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks * _R, _SEG), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_W, _SEG), jnp.float32),
+            pltpu.VMEM((_SEG, _SEG), jnp.float32),
+            pltpu.VMEM((_R, _R), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(thr_arr, xr)
+    return stat.reshape(-1)[:nch], base.reshape(-1)[:nch]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
 def chunk_stats_pallas(x2: jnp.ndarray, threshold, interpret: bool = False):
     """x2: (nch, 128) int32. Returns (stat, base): (nch,) int32 each —
     drop-in for chunk_stats_xla. Callers guarantee padding rows never

@@ -158,15 +158,27 @@ def filter_sparse(
         xp = jnp.where(tail_is_pad, jnp.asarray(threshold, x.dtype), xp)
     nch = xp.shape[0] // chunk
     thr_i = jnp.asarray(threshold, jnp.int32)
-    # phase A engine: XLA's fused row reductions by default. The streaming
-    # MXU Pallas kernel (ops/chunk_stats_pallas) wins STANDALONE (0.22 vs
-    # 0.50 ms at 2^24, measure_r3.py d1) but loses END TO END (0.53 vs
-    # 0.38 ms, measure_r3b.py e1): XLA fuses the stats pass with the
-    # single/multi classification consumers, while the Pallas call forces
-    # a materialize + ~2 extra small-kernel dispatches (~0.065 ms each).
-    if stats_pallas is None:
-        stats_pallas = False
-    if stats_pallas:
+    # Fused path (round 3, accelerators, nch <= 2^18): phase A is ONE
+    # Pallas kernel (chunk_stats_fused — single packed segment matmul +
+    # in-kernel base carry) and the tail classification + both chunk-level
+    # compactions are ONE more (scan_tail_pallas.scan_tail_compact). The
+    # round-2 finding that XLA stats beat Pallas stats END TO END held
+    # because XLA fused the stats into the classification CONSUMERS; with
+    # the tail consolidated into a kernel, that advantage is gone and the
+    # multi-dispatch chain (~0.065 ms per small XLA kernel) is the cost.
+    use_fused = (
+        (jax.default_backend() != "cpu" or interpret)
+        and nch <= (1 << 18)
+        and stats_pallas is None
+    )
+    if use_fused:
+        from .chunk_stats_pallas import chunk_stats_fused
+
+        stat, base = chunk_stats_fused(
+            xp.reshape(nch, chunk).astype(jnp.int32), thr_i,
+            interpret=interpret,
+        )
+    elif stats_pallas:
         from .chunk_stats_pallas import chunk_stats_pallas
 
         stat, base = chunk_stats_pallas(
@@ -182,13 +194,22 @@ def filter_sparse(
     cnt = stat >> 9
     vsw = stat & 511
     total = (base[-1] + cnt[-1]).astype(jnp.int32)
-    # in-window singles are fully described by phase A; out-of-window
-    # singles (vsw == 256 marker or a wrapped-threshold 0) join the
-    # gather path, which reads true values
-    single = (cnt == 1) & (vsw >= 1) & (vsw <= 255)
-    multi = (cnt >= 1) & ~single
-    n_multi = jnp.sum(multi.astype(jnp.int32))
-    n_single = jnp.sum(single.astype(jnp.int32))
+    if use_fused:
+        from .scan_tail_pallas import scan_tail_compact
+
+        spos_k, sval_k, mids_k, mbase_k, n_single, n_multi = (
+            scan_tail_compact(
+                stat, base, thr_i, cap_single, cap_mc, interpret=interpret
+            )
+        )
+    else:
+        # in-window singles are fully described by phase A; out-of-window
+        # singles (vsw == 256 marker or a wrapped-threshold 0) join the
+        # gather path, which reads true values
+        single = (cnt == 1) & (vsw >= 1) & (vsw <= 255)
+        multi = (cnt >= 1) & ~single
+        n_multi = jnp.sum(multi.astype(jnp.int32))
+        n_single = jnp.sum(single.astype(jnp.int32))
     n_melems = total - n_single
     ok = (
         (n_single <= cap_single)
@@ -198,6 +219,51 @@ def filter_sparse(
         & (thr_i > jnp.int32(-(2**31) + 512))
     )
     sval = thr_i - vsw  # the match value for in-window single chunks
+
+    if use_fused:
+        from .compact_pallas import compact_mask_pallas, emit_prefix_pallas
+
+        def sparse_branch_f(xp, spos, sv, mids, mbase):
+            # the chunk-level streams arrive pre-compacted from
+            # scan_tail_compact; only the rare multi-chunk element work,
+            # the ordering sort, and the prefix emit remain
+            iota_m = jnp.arange(cap_mc, dtype=jnp.int32)
+            valid_m = iota_m < n_multi
+            midsafe = jnp.where(valid_m, mids, 0)
+            rows = xp.reshape(nch, chunk)[midsafe]
+            gm = (rows < threshold) & valid_m[:, None]
+            grank = jnp.cumsum(gm.astype(jnp.int32), axis=1) - gm
+            # mbase rides the multi compaction — no base[mids] gather
+            gpos = jnp.where(gm, mbase[:, None] + grank, _BIG)
+            (mpos, mval), _ = compact_mask_pallas(
+                gm.reshape(-1),
+                (gpos.reshape(-1), rows.reshape(-1).astype(jnp.int32)),
+                capacity=cap_melems, interpret=interpret,
+            )
+            iota_e = jnp.arange(cap_melems, dtype=jnp.int32)
+            mpos = jnp.where(iota_e < n_melems, mpos, _BIG)
+            all_pos = jnp.concatenate([spos, mpos])
+            all_val = jnp.concatenate([sv, mval])
+            _, svals = jax.lax.sort(
+                (all_pos, all_val), num_keys=1, is_stable=False
+            )
+            k = min(capacity, all_val.shape[0])
+            out = emit_prefix_pallas(svals[:k], capacity,
+                                     interpret=interpret)
+            return out.astype(x.dtype), total
+
+        def general_branch_f(xp, spos, sv, mids, mbase):
+            from .scan_pallas import filter_pallas
+
+            out, c = filter_pallas(
+                xp[:n], threshold, capacity=capacity, interpret=interpret
+            )
+            return out.astype(x.dtype), c
+
+        return jax.lax.cond(
+            ok, sparse_branch_f, general_branch_f,
+            xp, spos_k, sval_k, mids_k, mbase_k,
+        )
 
     def sparse_branch(xp, base, sval, single, multi):
         if on_accel:

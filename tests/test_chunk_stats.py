@@ -68,6 +68,64 @@ def test_stats_pallas_matches_xla(rng, nch, thr):
     assert np.array_equal(np.asarray(b0), np.asarray(b1))
 
 
+@pytest.mark.parametrize(
+    "nch,thr",
+    [
+        (256, 5),
+        (1024, 5000),
+        (300, -100),  # non-block-multiple tail exercises the thr padding
+        (4096, 5),  # exactly one (256, 2048) block
+        (4097, 10000),  # everything matches: cnt == 128 per chunk
+        (9000, 5),  # multi-block: exercises the in-kernel base carry
+    ],
+)
+def test_stats_fused_matches_xla(rng, nch, thr):
+    """The single-dot packed kernel (round 3) returns stat AND base from
+    one pallas_call — drop-in for chunk_stats_xla."""
+    from dwarf_bench_tpu.ops.chunk_stats_pallas import chunk_stats_fused
+
+    x2 = rng.integers(-10000, 10000, (nch, 128)).astype(np.int32)
+    s0, b0 = chunk_stats_xla(jnp.asarray(x2), thr)
+    s1, b1 = chunk_stats_fused(jnp.asarray(x2), thr, interpret=True)
+    assert np.array_equal(np.asarray(s0), np.asarray(s1))
+    assert np.array_equal(np.asarray(b0), np.asarray(b1))
+
+
+@pytest.mark.parametrize("nch,density", [(2048, 0.001), (6000, 0.01),
+                                         (2048, 0.0)])
+def test_scan_tail_compact(rng, nch, density):
+    """The fused tail kernel reproduces both chunk-level compactions (and
+    the base[mids] gather) of the multi-dispatch path exactly."""
+    from dwarf_bench_tpu.ops.primitives import compact_multi
+    from dwarf_bench_tpu.ops.scan_tail_pallas import scan_tail_compact
+
+    thr = 5
+    x2 = rng.integers(1, 10001, (nch, 128)).astype(np.int32)
+    hit = rng.random((nch, 128)) < density
+    x2[hit] = rng.integers(-1000, 5, hit.sum()).astype(np.int32)
+    stat, base = chunk_stats_xla(jnp.asarray(x2), thr)
+    cnt, vsw = stat >> 9, stat & 511
+    single = (cnt == 1) & (vsw >= 1) & (vsw <= 255)
+    multi = (cnt >= 1) & ~single
+    cap_s, cap_m = 4096, 512
+    spos, sval, mids, mbase, ns, nm = scan_tail_compact(
+        stat, base, thr, cap_s, cap_m, interpret=True
+    )
+    (rpos, rval), rns = compact_multi(
+        (base, jnp.int32(thr) - vsw), single, capacity=cap_s
+    )
+    (rmids, rmbase), rnm = compact_multi(
+        (jnp.arange(nch, dtype=jnp.int32), base), multi, capacity=cap_m
+    )
+    ns, nm = int(ns), int(nm)
+    assert (ns, nm) == (int(rns), int(rnm))
+    assert np.array_equal(np.asarray(spos[:ns]), np.asarray(rpos[:ns]))
+    assert np.array_equal(np.asarray(sval[:ns]), np.asarray(rval[:ns]))
+    assert np.all(np.asarray(spos[ns:]) == np.int32(0x7FFFFFFF))
+    assert np.array_equal(np.asarray(mids[:nm]), np.asarray(rmids[:nm]))
+    assert np.array_equal(np.asarray(mbase[:nm]), np.asarray(rmbase[:nm]))
+
+
 @pytest.mark.parametrize("l,cap", [(100, 1000), (128, 128), (37, 40)])
 def test_emit_prefix(rng, l, cap):
     v = rng.integers(-(2**31), 2**31, l).astype(np.int32)
