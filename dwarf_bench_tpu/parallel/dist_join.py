@@ -186,6 +186,12 @@ def dist_csr_join_skew(
     Returns (light result counts, heavy result counts, global total,
     shuffle overflow) — overflow stays 0 under heavy skew that would break
     the plain hash shuffle.
+
+    ``total`` is int32 and wraps mod 2^32: a single heavy key at p% of
+    both sides yields ~(p·n)² pairs, which exceeds 2^31 well before any
+    capacity trips (x64 is off in this deployment). Callers needing exact
+    giant totals sum the returned per-row counts host-side in uint64
+    (tests/test_distributed.py::TestDistJoinAtScale does exactly that).
     """
     n_chips = mesh.shape[ROW_AXIS]
     if heavy_rows_cap is None:

@@ -520,3 +520,77 @@ class TestSkewJoinZipf:
         hc = np.asarray(heavy2).reshape(-1)
         assert np.all(hc[:4] == thr + 8)  # X answered by the heavy path
         assert np.all(hc[4:8] == 0)  # Y answered by the light path
+
+
+@pytest.mark.slow
+class TestDistJoinAtScale:
+    """Oracle-validated distributed joins at the scaling-harness size
+    (2^18 rows/chip — scripts/benchmark_scaling.py's per-chip load, where
+    round 2 only measured throughput). Validates that the capacity and
+    skew policies HOLD at scale: exact global totals and zero overflow."""
+
+    N = N_DEV * (1 << 18)
+
+    @staticmethod
+    def _expected_total(A, B):
+        ca = np.bincount(A, minlength=1 << 14).astype(np.uint64)
+        cb = np.bincount(B, minlength=1 << 14).astype(np.uint64)
+        return int(np.sum(ca * cb))
+
+    def test_hash_shuffle_join_at_scale(self, mesh, rng):
+        from dwarf_bench_tpu.parallel import dist_csr_join
+
+        n = self.N
+        per_chip = n // N_DEV
+        A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        cap = (per_chip // N_DEV) * 2  # 2x the uniform expectation
+        fn = dist_csr_join(
+            mesh, rows_per_chip=per_chip, distinct_cap=1 << 14,
+            ht_size=1 << 15, shuffle_capacity=cap,
+        )
+        da, db = shard_rows(mesh, A, B)
+        counts, local_totals, total, overflow = fn(da, db)
+        assert int(np.sum(np.asarray(overflow))) == 0
+        expected = self._expected_total(A, B)
+        assert int(np.asarray(total).ravel()[0]) == expected
+        assert int(np.sum(np.asarray(local_totals, np.uint64))) == expected
+
+    def test_skew_join_at_scale(self, mesh, rng):
+        """12% of both sides on one key: the plain hash shuffle would need
+        a >6x capacity slot for that chip; the skew variant broadcasts the
+        heavy key and keeps overflow at 0 with the uniform-sized slots."""
+        from dwarf_bench_tpu.parallel import dist_csr_join_skew
+
+        n = self.N
+        per_chip = n // N_DEV
+        A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        B = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        hot = rng.random(n) < 0.12
+        A[hot] = 7
+        hot_b = rng.random(n) < 0.12
+        B[hot_b] = 7
+        cap = (per_chip // N_DEV) * 2
+        fn = dist_csr_join_skew(
+            mesh, rows_per_chip=per_chip, distinct_cap=1 << 14,
+            ht_size=1 << 15, shuffle_capacity=cap,
+        )
+        da, db = shard_rows(mesh, A, B)
+        light, heavy, total, overflow = fn(da, db)
+        assert int(np.sum(np.asarray(overflow))) == 0
+        # the heavy key alone yields ~63e9 pairs: the device-side int32
+        # ``total`` wraps (documented), so validate in uint64 on the host
+        # from the per-row counts — and per-row EXACTNESS for the heavy
+        # side, which rides the broadcast join in original row order.
+        ca = np.bincount(A, minlength=1 << 14).astype(np.uint64)
+        heavy_rows = np.asarray(heavy).reshape(-1).astype(np.uint64)
+        exp_heavy = np.where(B == 7, ca[7], 0).astype(np.uint64)
+        assert np.array_equal(heavy_rows, exp_heavy)
+        light_sum = int(np.sum(np.asarray(light).astype(np.uint64)))
+        assert light_sum + int(exp_heavy.sum()) == self._expected_total(
+            A, B
+        )
+        # the wrapped device total agrees mod 2^32
+        assert int(np.asarray(total).ravel()[0]) % (1 << 32) == (
+            self._expected_total(A, B) % (1 << 32)
+        )
