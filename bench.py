@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -57,6 +58,7 @@ def main() -> None:
 
     measured = {}
     skipped = []
+    extras = {}
 
     def remaining():
         return budget - (time.time() - t_start)
@@ -108,19 +110,32 @@ def main() -> None:
         db = jax.device_put(B, device)
         # keys span < 2^14 (host-checked, like the reference's host-side
         # count_distinct): dense CSR index — MXU histogram build + MXU
-        # table-gather probe, one pair sort total
+        # table-gather probe, one pair sort total. The span also picks the
+        # range-aware probe table rows (hi80 for [1, 10000] columns).
         assert csr_join.dense_applicable(A, B)
+        hi_rows = csr_join.dense_hi_rows(A, B)
 
         @jax.jit
         def join_fn(a, b):
             t = csr_join.build_dense(a)
-            r = csr_join.probe_dense(t, b)
+            r = csr_join.probe_dense(t, b, hi_rows=hi_rows)
             # id_buffer must be a live output: the reference's build phase
             # includes build_id_buffer (omnisci_hashtable.hpp:110-147), and
             # without it XLA dead-code-eliminates the pair sort entirely
             return r.pos, r.counts, t.id_buffer
 
-        return n / _time_op(join_fn, da, db)
+        rate = n / _time_op(join_fn, da, db)
+        # build/probe split (the reference reports the phases separately,
+        # join/join.cpp:111-113); measured at separate jit boundaries, so
+        # the two phase times can sum past the fused pipeline's time
+        t_build = _time_op(jax.jit(csr_join.build_dense), da)
+        tbl = csr_join.build_dense(da)
+        t_probe = _time_op(
+            jax.jit(partial(csr_join.probe_dense, hi_rows=hi_rows)), tbl, db
+        )
+        extras["join_build_ms"] = round(t_build * 1e3, 3)
+        extras["join_probe_ms"] = round(t_probe * 1e3, 3)
+        return rate
 
     def run_scan():
         n = 1 << 24
@@ -174,6 +189,7 @@ def main() -> None:
                 "skipped": skipped,
                 "elapsed_s": round(time.time() - t_start, 1),
                 "device": str(device),
+                **extras,
             }
         )
     )

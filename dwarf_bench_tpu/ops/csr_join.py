@@ -278,20 +278,30 @@ def build_dense(
     )
 
 
-@jax.jit
-def probe_dense(t: DenseCsrTable, b_keys: jnp.ndarray) -> CsrProbeResult:
+@partial(jax.jit, static_argnames=("hi_rows",))
+def probe_dense(
+    t: DenseCsrTable, b_keys: jnp.ndarray, hi_rows: int = 128
+) -> CsrProbeResult:
     """lookup() per B row against the dense index: two MXU table gathers
     (ops/mxu_gather), zero sorts, zero serialized gathers. Counts/positions
     are < 2^24 (row counts), so 3 value planes reconstruct them exactly.
     (A fused multi-table gather was measured 7x SLOWER — its concatenated
-    plane matmul materializes a (tile, 768) f32 intermediate to HBM.)"""
+    plane matmul materializes a (tile, 768) f32 intermediate to HBM.)
+
+    ``hi_rows`` < 128 is the range-aware fast path (PRECONDITION,
+    host-checked by the caller like ``dense_applicable``: BOTH columns'
+    valid keys span < hi_rows·128 after the min-shift) — the rel-path
+    table matmul shrinks to hi_rows/128 of the full-table MACs, the same
+    asymmetry the hi80 histogram exploits."""
     q = b_keys.astype(jnp.uint32)
     k = q - t.minv
-    in_range = (k < jnp.uint32(_RANGE)) & (q != hashtable.EMPTY)
+    in_range = (k < jnp.uint32(hi_rows * 128)) & (q != hashtable.EMPTY)
     ki = jnp.where(in_range, k.astype(jnp.int32), -1)
 
     def rel_path(ki):
-        p3, base = gather_16k_rel(t.packed3, t.base128, ki)
+        p3, base = gather_16k_rel(
+            t.packed3, t.base128, ki, hi_rows=hi_rows
+        )
         return (
             base + (p3 >> 10).astype(jnp.int32),
             (p3 & 1023).astype(jnp.int32),
@@ -322,6 +332,22 @@ def probe_dense(t: DenseCsrTable, b_keys: jnp.ndarray) -> CsrProbeResult:
         jnp.where(found, pos, 0),
         jnp.where(found, cnt, 0),
     )
+
+
+def dense_hi_rows(a_keys, b_keys) -> int:
+    """Host-side: the smallest hi-digit row count (multiple of 8, ≤ 128)
+    covering both columns' valid key span — the ``probe_dense(hi_rows=)``
+    precondition helper (the benchmark's [1, 10000] columns give 80,
+    matching the hi80 histogram asymmetry)."""
+    ks = np.concatenate(
+        [np.asarray(a_keys, np.uint32), np.asarray(b_keys, np.uint32)]
+    )
+    ks = ks[ks != np.uint32(0xFFFFFFFF)]
+    if ks.size == 0:
+        return 8
+    span = int(ks.max()) - int(ks.min()) + 1
+    rows = -(-span // 128)
+    return min(128, max(8, (rows + 7) // 8 * 8))
 
 
 def dense_applicable(a_keys, b_keys) -> bool:

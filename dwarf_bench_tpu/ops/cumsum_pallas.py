@@ -35,12 +35,22 @@ _W = 1024
 def cumsum_pallas(
     x: jnp.ndarray, carry_init=0, interpret: bool = False
 ) -> jnp.ndarray:
-    """Inclusive int32 cumsum of a 1D int32 column, plus ``carry_init``.
-    PRECONDITION: every 131072-element block sums to < 2^24 in magnitude."""
+    """Inclusive int32 cumsum of a 1D int32/int16/int8 column, plus
+    ``carry_init``. PRECONDITION: every 131072-element block sums to
+    < 2^24 in magnitude.
+
+    Narrow inputs are first-class: the counting sort's boundary-indicator
+    column holds start multiplicities ≤ nbins = 2^14 (empty bins share
+    their successor's start), so scattering it as int16 and streaming it
+    here halves the expansion's input HBM traffic; the in-kernel cast to
+    f32 is free against the matmul."""
     n = x.shape[0]
     block = _R * _W
     pad = (-n) % block
-    xp = jnp.pad(x.astype(jnp.int32), (0, pad))
+    xp = jnp.pad(
+        x if x.dtype in (jnp.int8, jnp.int16) else x.astype(jnp.int32),
+        (0, pad),
+    )
     x2 = xp.reshape(-1, _W)  # row r of a block = r-th consecutive W-chunk
     nblocks = (n + pad) // block
     init = jnp.full((1,), carry_init, jnp.int32)

@@ -113,6 +113,100 @@ def histogram_16k_pallas(
     return out.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("hi_bins", "rows", "interpret"))
+def histogram_16k_swar_pallas(
+    k: jnp.ndarray,
+    hi_bins: int = 128,
+    rows: int = _HIST_ROWS,
+    interpret: bool = False,
+):
+    """histogram_16k semantics with SWAR one-hot construction (round 3).
+
+    The one-hot build is the VPU floor of every one-hot-matmul engine, and
+    sub-32-bit vector compares don't lower in Mosaic (round-2 finding).
+    This kernel sidesteps the compare ISA entirely: each uint32 lane holds
+    one element's indicator bytes for FOUR CONSECUTIVE BINS — patterns are
+    ``4q·0x01010101 + 0x03020100`` against the digit replicated into all
+    4 bytes (``digit·0x01010101``) — and an exact per-byte zero detector
+    (``~(((t & 0x7f..) + 0x7f..) | t | 0x7f..)``, no cross-byte carries)
+    writes 0x80 at matches. ``pltpu.bitcast`` then expands (nb/4, W) i32
+    to (nb, W) int8 along sublanes — on the packed int8 tiling that is a
+    pure reinterpretation, and the result IS the one-hot (rows = bins in
+    order, no cross-element interleave), so the count matmul is shape-
+    identical to ``histogram_16k_pallas``'s. Matches contribute
+    (-128)·(-128) = 16384, so per-row dots fold in as ``dot >> 14``
+    (per-block cell sums ≤ 16384·rows·W < 2^31). Net: ~6 int32 ops per
+    4 elements per bin instead of a compare+cast per element per bin.
+
+    Sentinel: out-of-range keys (uint32 ≥ hi_bins·128, incl. padding)
+    take digit byte 255, which never equals a bin pattern ≤ 127."""
+    assert hi_bins % 8 == 0 and hi_bins <= 128
+    n = k.shape[0]
+    block = rows * _W
+    pad = (-n) % block
+    sentinel = np.int32(hi_bins << 7)
+    kp = jnp.pad(k.astype(jnp.int32), (0, pad), constant_values=sentinel)
+    k2 = kp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+    L7 = np.uint32(0x7F7F7F7F)
+    MUL = np.uint32(0x01010101)
+
+    def kernel(k_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = jnp.zeros((hi_bins, 128), jnp.int32)
+
+        pats_hi = (
+            jax.lax.broadcasted_iota(jnp.uint32, (hi_bins // 4, _W), 0)
+            * np.uint32(4 * 0x01010101)
+            + np.uint32(0x03020100)
+        )
+        pats_lo = (
+            jax.lax.broadcasted_iota(jnp.uint32, (32, _W), 0)
+            * np.uint32(4 * 0x01010101)
+            + np.uint32(0x03020100)
+        )
+
+        def zdetect(p, pats, nb):
+            t = jnp.broadcast_to(p, (nb, _W)) ^ pats
+            return ~(((t & L7) + L7) | t | L7)
+
+        for r in range(rows):
+            row = k_ref[r, :].reshape(1, _W)
+            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+            hi = jnp.where(bad, np.int32(255), row >> 7)
+            lo = jnp.where(bad, np.int32(255), row & 127)
+            zh = zdetect(hi.astype(jnp.uint32) * MUL, pats_hi,
+                         hi_bins // 4)
+            zl = zdetect(lo.astype(jnp.uint32) * MUL, pats_lo, 32)
+            oh_hi = pltpu.bitcast(zh, jnp.int8)  # (hi_bins, W)
+            oh_lo = pltpu.bitcast(zl, jnp.int8)  # (128, W)
+            acc_ref[...] += jax.lax.dot_general(
+                oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) >> 14
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            out_ref[...] = acc_ref[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hi_bins, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((hi_bins, 128), jnp.int32)],
+        interpret=interpret,
+    )(k2)
+    return out.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("hi_bins", "interpret"))
 def weighted_histogram_pallas(
     k: jnp.ndarray,

@@ -84,12 +84,13 @@ def gather_16k(
     return out.astype(table.dtype)
 
 
-@partial(jax.jit, static_argnames=("fused_f32",))
+@partial(jax.jit, static_argnames=("fused_f32", "hi_rows"))
 def gather_16k_rel(
     packed3: jnp.ndarray,
     base128: jnp.ndarray,
     idx: jnp.ndarray,
     fused_f32: bool = True,
+    hi_rows: int = 128,
 ):
     """Bucket-relative lookup: out[i] = (base128[idx[i] >> 7],
     packed3[idx[i]]) with packed3 values < 2^24 and base128 values < 2^24.
@@ -106,18 +107,25 @@ def gather_16k_rel(
     Precision.HIGHEST: identical MXU work (f32 = 3 bf16 passes) but a third
     of the VPU select passes. Exact because every product is onehot * v with
     v < 2^24 and the bf16x3 operand split carries 24 mantissa bits.
+
+    ``hi_rows`` < 128 shrinks the table to its populated hi-digit rows
+    (range-aware, like the hi80 histogram): valid indices must then be
+    < hi_rows·128 — stage-1 MACs scale with hi_rows (a [1, 10000] key
+    span pays 80/128 of the full-table matmul). Out-of-range indices
+    still return (0, 0): their hi digit matches no one-hot column.
     """
-    t = packed3.astype(jnp.uint32).reshape(128, 128)
+    t = packed3.astype(jnp.uint32)[: hi_rows * 128].reshape(hi_rows, 128)
 
     n = idx.shape[0]
     pad = (-n) % _TILE
     ip = jnp.pad(idx.astype(jnp.int32), (0, pad), constant_values=np.int32(-1))
     it = ip.reshape(-1, _TILE)
-    cols = jnp.arange(128, dtype=jnp.int32)
+    cols = jnp.arange(hi_rows, dtype=jnp.int32)
+    cols_lo = jnp.arange(128, dtype=jnp.int32)
     # ONE f32 matvec at HIGHEST precision: exact for base < 2^24 (one-hot
     # times a bf16x3-split operand carries 24 mantissa bits), and 128
     # MACs/elem is noise next to the 16384/plane of the table matmul
-    base_vec = base128.astype(jnp.float32)[:, None]
+    base_vec = base128.astype(jnp.float32)[:hi_rows, None]
     if fused_f32:
         plane_mats = [t.astype(jnp.float32)]
     else:
@@ -129,7 +137,7 @@ def gather_16k_rel(
         hi = it_i >> 7
         lo = it_i & 127
         oh_hi = (hi[:, None] == cols[None, :]).astype(jnp.bfloat16)
-        oh_lo = (lo[:, None] == cols[None, :]).astype(jnp.float32)
+        oh_lo = (lo[:, None] == cols_lo[None, :]).astype(jnp.float32)
         if fused_f32:
             a = jnp.dot(
                 oh_hi.astype(jnp.float32),

@@ -86,14 +86,19 @@ def _expand_runs(counts: jnp.ndarray, n: int, shift=0) -> jnp.ndarray:
     so XLA's serialized scatter costs ~0.1 ms); the long inclusive cumsum
     streams once over the output (MXU Pallas kernel on accelerators — s
     sums to 16384 globally, far under its per-block 2^24 exactness bound —
-    with the -1+shift folded into its carry)."""
+    with the -1+shift folded into its carry). On accelerators ``s`` is
+    int16 — multiplicities are ≤ nbins = 2^14, and the narrow column
+    halves the expansion kernel's input HBM traffic."""
     starts = jnp.cumsum(counts) - counts  # exclusive; sorted, C[0] = 0
-    s = jnp.zeros((n,), jnp.int32).at[starts].add(1, mode="drop")
     shift = jnp.asarray(shift, jnp.int32)
     if jax.default_backend() == "cpu":
+        s = jnp.zeros((n,), jnp.int32).at[starts].add(1, mode="drop")
         return jnp.cumsum(s, dtype=jnp.int32) + (shift - 1)
     from .cumsum_pallas import cumsum_pallas
 
+    s = jnp.zeros((n,), jnp.int16).at[starts].add(
+        jnp.int16(1), mode="drop"
+    )
     return cumsum_pallas(s, carry_init=shift - 1)
 
 

@@ -446,6 +446,11 @@ def g7():
 
 
 def main():
+    from dwarf_bench_tpu.common.device import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     groups = sys.argv[1:] or ["g2"]
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", flush=True)

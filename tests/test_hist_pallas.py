@@ -92,3 +92,19 @@ def test_groupby_small_f32_exactness_edge(rng):
                                  interpret=True)
     )
     assert np.array_equal(got, groupby_oracle(k, v, G))
+
+
+@pytest.mark.parametrize("hi_bins,n", [(80, 1 << 16), (128, 100000),
+                                       (80, 16384)])
+def test_swar_histogram_matches(rng, hi_bins, n):
+    """Bin-packed SWAR one-hot construction (round 3) is a drop-in for
+    histogram_16k_pallas, including out-of-range/negative keys."""
+    from dwarf_bench_tpu.ops.hist_pallas import histogram_16k_swar_pallas
+    from dwarf_bench_tpu.ops.sort import histogram_16k
+
+    k = rng.integers(-100, hi_bins * 128 + 500, n).astype(np.int32)
+    ref = histogram_16k(jnp.asarray(k), hi_bins=hi_bins)
+    got = histogram_16k_swar_pallas(
+        jnp.asarray(k), hi_bins=hi_bins, interpret=True
+    )
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
