@@ -408,3 +408,120 @@ def weighted_histogram_i8_pallas(
 def weighted_histogram_16k_pallas(k, v, interpret: bool = False):
     """Back-compat alias: 2^14 bins."""
     return weighted_histogram_pallas(k, v, hi_bins=128, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("hi_bins", "interpret"))
+def weighted_histogram_i8_swar_pallas(
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    hi_bins: int = 512,
+    interpret: bool = False,
+):
+    """``weighted_histogram_i8_pallas`` with SWAR hi-side one-hots.
+
+    The G=2^16 group-by is MXU-bound on its n·G plane MACs, but the
+    hi-digit one-hot construction (hi_bins compare+cast rows per element
+    row) is the VPU half of the kernel. Here the hi one-hot is built the
+    SWAR way (see histogram_16k_swar_pallas): bins are packed 4 per
+    uint32 lane and ``pltpu.bitcast`` expands to int8 rows. A 9-bit hi
+    digit does not fit the byte patterns, so hi splits into
+    ``hi_bins // 256`` groups of ≤ 256 byte-coded bins, each with a
+    packed kill-mask for rows outside the group (and for out-of-range/
+    padding keys). Matches carry 0x80 = -128, so each group dot folds in
+    as ``acc -= dot >> 7`` (products are -128·vplane; the shift is exact
+    on the negated multiple of 128).
+
+    Semantics identical to weighted_histogram_i8_pallas: (hi_bins·128,)
+    int32 per-bin sums of ``v`` (< 2^14, two 7-bit planes), out-of-range
+    keys count nowhere, int32 wrap matches the reference's uint32
+    aggregation (groupby/groupby.cpp:8-19)."""
+    assert hi_bins % 256 == 0 and hi_bins <= 512
+    ngroups = hi_bins // 256
+    n = k.shape[0]
+    block = _ROWS * _W
+    pad = (-n) % block
+    sentinel = np.int32(hi_bins << 7)
+    kp = jnp.pad(k.astype(jnp.int32), (0, pad), constant_values=sentinel)
+    vp = jnp.pad(v.astype(jnp.int32), (0, pad))
+    k2 = kp.reshape(-1, _W)
+    v2 = vp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+    L7 = np.uint32(0x7F7F7F7F)
+    MUL = np.uint32(0x01010101)
+
+    def kernel(k_ref, v_ref, out_ref, acc_lo, acc_hi):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_lo[...] = jnp.zeros((hi_bins, 128), jnp.int32)
+            acc_hi[...] = jnp.zeros((hi_bins, 128), jnp.int32)
+
+        pats = (
+            jax.lax.broadcasted_iota(jnp.uint32, (64, _W), 0)
+            * np.uint32(4 * 0x01010101)
+            + np.uint32(0x03020100)
+        )
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
+        dims = (((1,), (1,)), ((), ()))
+        for r in range(_ROWS):
+            row = k_ref[r, :].reshape(1, _W)
+            val = v_ref[r, :].reshape(1, _W)
+            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+            hi = jnp.where(bad, np.int32(hi_bins), row >> 7)
+            lo = row & 127
+            hb = (hi & 255).astype(jnp.uint32) * MUL
+            grp = hi >> 8
+            oh_lo32 = (jnp.broadcast_to(lo, (128, _W)) == iota_lo).astype(
+                jnp.int32
+            )
+            blo = (oh_lo32 * jnp.broadcast_to(val & 0x7F, (128, _W))).astype(
+                jnp.int8
+            )
+            bhi = (
+                oh_lo32 * jnp.broadcast_to((val >> 7) & 0x7F, (128, _W))
+            ).astype(jnp.int8)
+            for g in range(ngroups):
+                # kill whole lanes whose element is outside group g (bad
+                # keys have grp = hi_bins >> 8 >= ngroups: never matches)
+                keep = jnp.where(
+                    grp == g, np.uint32(0xFFFFFFFF), np.uint32(0)
+                )
+                t = jnp.broadcast_to(hb, (64, _W)) ^ pats
+                z = ~(((t & L7) + L7) | t | L7) & jnp.broadcast_to(
+                    keep, (64, _W)
+                )
+                oh_g = pltpu.bitcast(z, jnp.int8)  # (256, W) of -128/0
+                dlo = jax.lax.dot_general(
+                    oh_g, blo, dimension_numbers=dims,
+                    preferred_element_type=jnp.int32,
+                )
+                dhi = jax.lax.dot_general(
+                    oh_g, bhi, dimension_numbers=dims,
+                    preferred_element_type=jnp.int32,
+                )
+                acc_lo[g * 256:(g + 1) * 256, :] += (-dlo) >> 7
+                acc_hi[g * 256:(g + 1) * 256, :] += (-dhi) >> 7
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            out_ref[...] = acc_lo[...] + (acc_hi[...] << 7)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hi_bins, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((hi_bins, 128), jnp.int32),
+            pltpu.VMEM((hi_bins, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(k2, v2)
+    return out.reshape(-1)

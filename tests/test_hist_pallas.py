@@ -108,3 +108,24 @@ def test_swar_histogram_matches(rng, hi_bins, n):
         jnp.asarray(k), hi_bins=hi_bins, interpret=True
     )
     assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("hi_bins", [256, 512])
+def test_swar_weighted_histogram_matches(rng, hi_bins):
+    """SWAR hi-side one-hots (grouped byte patterns + kill masks) are a
+    drop-in for the int8 weighted histogram, incl. out-of-range keys."""
+    from dwarf_bench_tpu.ops.hist_pallas import (
+        weighted_histogram_i8_pallas,
+        weighted_histogram_i8_swar_pallas,
+    )
+
+    n = 1 << 16
+    k = rng.integers(-3, hi_bins * 128 + 99, n).astype(np.int32)
+    v = rng.integers(1, 10000, n).astype(np.int32)
+    a = weighted_histogram_i8_pallas(
+        jnp.asarray(k), jnp.asarray(v), hi_bins=hi_bins, interpret=True
+    )
+    b = weighted_histogram_i8_swar_pallas(
+        jnp.asarray(k), jnp.asarray(v), hi_bins=hi_bins, interpret=True
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(b))
