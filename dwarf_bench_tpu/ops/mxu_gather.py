@@ -126,7 +126,15 @@ def gather_16k_rel(
     # times a bf16x3-split operand carries 24 mantissa bits), and 128
     # MACs/elem is noise next to the 16384/plane of the table matmul
     base_vec = base128.astype(jnp.float32)[:hi_rows, None]
-    if fused_f32:
+    if fused_f32 == "int8":
+        # four 7-bit int8 planes (values < 2^24 -> ceil(24/7) = 4): the
+        # int8 MXU path trades plane count for rate; stage-2 recombines
+        # the plane selections with shifts (measured A/B vs the f32 form
+        # in scripts/measure_r4.py g6)
+        plane_mats = [
+            ((t >> (7 * p)) & 0x7F).astype(jnp.int8) for p in range(4)
+        ]
+    elif fused_f32:
         plane_mats = [t.astype(jnp.float32)]
     else:
         plane_mats = [
@@ -136,9 +144,27 @@ def gather_16k_rel(
     def tile_lookup(it_i):
         hi = it_i >> 7
         lo = it_i & 127
+        if fused_f32 == "int8":
+            oh_hi8 = (hi[:, None] == cols[None, :]).astype(jnp.int8)
+            oh_lo32 = (lo[:, None] == cols_lo[None, :]).astype(jnp.int32)
+            rel = jnp.zeros((_TILE,), jnp.uint32)
+            for p, mat in enumerate(plane_mats):
+                a = jax.lax.dot_general(
+                    oh_hi8, mat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                v = jnp.sum(a * oh_lo32, axis=1)
+                rel = rel + (v.astype(jnp.uint32) << (7 * p))
+            oh_hi = (hi[:, None] == cols[None, :]).astype(jnp.bfloat16)
+            b = jnp.dot(
+                oh_hi.astype(jnp.float32), base_vec,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )[:, 0]
+            return rel, b.astype(jnp.int32)
         oh_hi = (hi[:, None] == cols[None, :]).astype(jnp.bfloat16)
         oh_lo = (lo[:, None] == cols_lo[None, :]).astype(jnp.float32)
-        if fused_f32:
+        if fused_f32 is True:
             a = jnp.dot(
                 oh_hi.astype(jnp.float32),
                 plane_mats[0],

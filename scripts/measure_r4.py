@@ -369,6 +369,19 @@ def g6():
     )
     print(f"g6 gather_16k_rel (shipped): {t*1e3:.3f} ms", flush=True)
     t = time_amortized(
+        jax.jit(partial(gather_16k_rel, hi_rows=80)),
+        tbl.packed3, tbl.base128, ki,
+    )
+    print(f"g6 gather_16k_rel hi80: {t*1e3:.3f} ms", flush=True)
+    for hr in (128, 80):
+        t = time_amortized(
+            jax.jit(partial(gather_16k_rel, hi_rows=hr,
+                            fused_f32="int8")),
+            tbl.packed3, tbl.base128, ki,
+        )
+        print(f"g6 gather_16k_rel int8-4p hi{hr}: {t*1e3:.3f} ms",
+              flush=True)
+    t = time_amortized(
         jax.jit(partial(gather_16k, planes=4, plane_dtype="int8")),
         tbl.packed3, ki,
     )
@@ -443,6 +456,35 @@ def g7():
     f5 = jax.jit(lambda v: emit_prefix_pallas(v, n))
     t = time_amortized(f5, allval)
     print(f"g7 emit_prefix (cap 2^24): {t*1e3:.3f} ms", flush=True)
+
+
+# --- g9: G=2^16 group-by weighted-histogram variants ---------------------
+
+
+def g9():
+    from dwarf_bench_tpu.ops.hist_pallas import (
+        weighted_histogram_i8_pallas,
+        weighted_histogram_i8_swar_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    k = jnp.asarray(rng.integers(0, 1 << 16, n).astype(np.int32))
+    v = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+    )
+    a = weighted_histogram_i8_pallas(k, v, hi_bins=512)
+    b = weighted_histogram_i8_swar_pallas(k, v, hi_bins=512)
+    diff = int(_sync_scalar(jnp.sum(jnp.abs(a - b))))
+    t0 = time_amortized(
+        jax.jit(partial(weighted_histogram_i8_pallas, hi_bins=512)), k, v
+    )
+    t1 = time_amortized(
+        jax.jit(partial(weighted_histogram_i8_swar_pallas, hi_bins=512)),
+        k, v,
+    )
+    print(f"g9 weighted i8 hi512: {t0*1e3:.3f} ms; SWAR: {t1*1e3:.3f} ms "
+          f"(absdiff={diff})", flush=True)
 
 
 def main():
