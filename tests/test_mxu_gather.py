@@ -84,3 +84,25 @@ def test_probe_dense_rel_pallas_matches_xla(rng):
     assert np.array_equal(np.asarray(cnt), np.asarray(ref.counts))
     assert np.array_equal(np.asarray(pos), np.asarray(ref.pos))
     assert np.array_equal(np.asarray(cnt) > 0, np.asarray(ref.found))
+
+
+@pytest.mark.parametrize("hi_rows,form", [(80, True), (128, "int8"),
+                                          (80, "int8")])
+def test_gather_rel_variants(rng, hi_rows, form):
+    """Range-aware (hi_rows) and int8 4-plane rel-gathers match the
+    shipped f32-HIGHEST form bit-exactly, incl. out-of-range indices."""
+    from dwarf_bench_tpu.ops.mxu_gather import gather_16k_rel
+
+    packed3 = jnp.asarray(
+        rng.integers(0, 1 << 24, 16384).astype(np.int32)
+    )
+    base = jnp.asarray(rng.integers(0, 1 << 20, 128).astype(np.int32))
+    idx = jnp.asarray(
+        rng.integers(-3, hi_rows * 128, 1 << 14).astype(np.int32)
+    )
+    r0, b0 = gather_16k_rel(packed3, base, idx)
+    r1, b1 = gather_16k_rel(
+        packed3, base, idx, fused_f32=form, hi_rows=hi_rows
+    )
+    assert np.array_equal(np.asarray(r0), np.asarray(r1))
+    assert np.array_equal(np.asarray(b0), np.asarray(b1))
