@@ -171,6 +171,9 @@ class JoinOmnisci(TpuDwarf):
         ht_size = unique_keys * 2
         distinct_cap = unique_keys
         dense = csr_join.dense_applicable(a_keys, b_keys)
+        # the span also picks the range-aware probe table (hi80 for the
+        # [1, 10000] datagen — same host knowledge as the table sizing)
+        hi_rows = csr_join.dense_hi_rows(a_keys, b_keys) if dense else 128
         device = self.device(opts)
 
         for _ in range(opts.iterations):
@@ -182,7 +185,8 @@ class JoinOmnisci(TpuDwarf):
                 table = block(csr_join.build(da_k, distinct_cap, ht_size))
             t_build = time.perf_counter()
             if dense:
-                res = block(csr_join.probe_dense(table, db_k))
+                res = block(csr_join.probe_dense(table, db_k,
+                                                 hi_rows=hi_rows))
             else:
                 res = block(csr_join.probe_merge(table, db_k))
             t_end = time.perf_counter()
