@@ -110,10 +110,12 @@ def main() -> None:
         db = jax.device_put(B, device)
         # keys span < 2^14 (host-checked, like the reference's host-side
         # count_distinct): dense CSR index — MXU histogram build + MXU
-        # table-gather probe, one pair sort total. The span also picks the
-        # range-aware probe table rows (hi80 for [1, 10000] columns).
+        # table-gather probe, one pair sort total. hi_rows stays 128: the
+        # range-aware (hi80) and int8-4-plane rel-gather variants both
+        # measured SLOWER (0.880 / 1.045 vs 0.752 ms — the MXU pads the
+        # skinny table to 128 sublanes anyway; measure_r4.py g6).
         assert csr_join.dense_applicable(A, B)
-        hi_rows = csr_join.dense_hi_rows(A, B)
+        hi_rows = 128
 
         @jax.jit
         def join_fn(a, b):

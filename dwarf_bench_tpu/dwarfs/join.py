@@ -171,9 +171,9 @@ class JoinOmnisci(TpuDwarf):
         ht_size = unique_keys * 2
         distinct_cap = unique_keys
         dense = csr_join.dense_applicable(a_keys, b_keys)
-        # the span also picks the range-aware probe table (hi80 for the
-        # [1, 10000] datagen — same host knowledge as the table sizing)
-        hi_rows = csr_join.dense_hi_rows(a_keys, b_keys) if dense else 128
+        # hi_rows pinned to 128: the range-aware variant measured slower
+        # (the MXU pads skinny tables to 128 sublanes; measure_r4.py g6)
+        hi_rows = 128
         device = self.device(opts)
 
         for _ in range(opts.iterations):

@@ -39,11 +39,11 @@ def cumsum_pallas(
     ``carry_init``. PRECONDITION: every 131072-element block sums to
     < 2^24 in magnitude.
 
-    Narrow inputs are first-class: the counting sort's boundary-indicator
-    column holds start multiplicities ≤ nbins = 2^14 (empty bins share
-    their successor's start), so scattering it as int16 and streaming it
-    here halves the expansion's input HBM traffic; the in-kernel cast to
-    f32 is free against the matmul."""
+    Narrow (int8/int16) inputs are accepted but MEASURED SLOWER on v5e:
+    the sub-32-bit VMEM load + cast lowers as a relayout that cost 3x
+    the full-width kernel (0.448 vs 0.150 ms at 2^22 with int8 input,
+    scripts/measure_r4.py g5) — callers should pass int32; the narrow
+    path is kept as the documented negative result."""
     n = x.shape[0]
     block = _R * _W
     pad = (-n) % block

@@ -114,10 +114,21 @@ def groupby_sum_2level(
     hi_bins = _hi_bins_for(num_groups)
     if jax.default_backend() != "cpu":
         # int8 MXU path: 1.65x the bf16 planes at hi_bins=512 (the
-        # BASELINE G=2^16 config) — scripts/measure_r3.py d6
-        from .hist_pallas import weighted_histogram_i8_pallas
+        # BASELINE G=2^16 config) — scripts/measure_r3.py d6. For 256+
+        # hi bins the SWAR hi-side one-hot shaves the VPU half (0.798
+        # vs 0.822 ms at 2^20/hi512 — the kernel is MXU-bound on its
+        # n·G plane MACs, so the margin is small; measure_r4.py g9).
+        from .hist_pallas import (
+            weighted_histogram_i8_pallas,
+            weighted_histogram_i8_swar_pallas,
+        )
 
-        sums = weighted_histogram_i8_pallas(
+        eng = (
+            weighted_histogram_i8_swar_pallas
+            if hi_bins >= 256
+            else weighted_histogram_i8_pallas
+        )
+        sums = eng(
             keys.astype(jnp.int32), vals.astype(jnp.int32), hi_bins=hi_bins
         )
         return sums[:num_groups].astype(jnp.uint32)

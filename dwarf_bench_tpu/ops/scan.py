@@ -158,25 +158,23 @@ def filter_sparse(
         xp = jnp.where(tail_is_pad, jnp.asarray(threshold, x.dtype), xp)
     nch = xp.shape[0] // chunk
     thr_i = jnp.asarray(threshold, jnp.int32)
-    # Fused path (round 3, accelerators, nch <= 2^18): phase A is ONE
-    # Pallas kernel (chunk_stats_fused — single packed segment matmul +
-    # in-kernel base carry) and the tail classification + both chunk-level
-    # compactions are ONE more (scan_tail_pallas.scan_tail_compact). The
-    # round-2 finding that XLA stats beat Pallas stats END TO END held
-    # because XLA fused the stats into the classification CONSUMERS; with
-    # the tail consolidated into a kernel, that advantage is gone and the
-    # multi-dispatch chain (~0.065 ms per small XLA kernel) is the cost.
+    # Round-3 path (accelerators): phase A stays the XLA fused
+    # reductions — quiet-host standalone at 2^24: 0.180 ms (XLA) vs
+    # 0.218 (round-2 Pallas) vs 0.316 (the round-3 single-packed-dot
+    # chunk_stats_fused, kept as a documented negative result) — and the
+    # tail classification + BOTH chunk-level compactions collapse into
+    # ONE streaming kernel (scan_tail_pallas.scan_tail_streams, the
+    # carry-buffer machinery; the single-step merge-tree variant
+    # measured 1.852 ms and is likewise kept only as a negative
+    # result). All numbers: scripts/measure_r4.py g10.
     use_fused = (
-        (jax.default_backend() != "cpu" or interpret)
-        and nch <= (1 << 18)
-        and stats_pallas is None
-    )
+        jax.default_backend() != "cpu" or interpret
+    ) and stats_pallas is None
     if use_fused:
-        from .chunk_stats_pallas import chunk_stats_fused
+        from .chunk_stats import chunk_stats_xla
 
-        stat, base = chunk_stats_fused(
-            xp.reshape(nch, chunk).astype(jnp.int32), thr_i,
-            interpret=interpret,
+        stat, base = chunk_stats_xla(
+            xp.reshape(nch, chunk).astype(jnp.int32), thr_i
         )
     elif stats_pallas:
         from .chunk_stats_pallas import chunk_stats_pallas
@@ -195,10 +193,10 @@ def filter_sparse(
     vsw = stat & 511
     total = (base[-1] + cnt[-1]).astype(jnp.int32)
     if use_fused:
-        from .scan_tail_pallas import scan_tail_compact
+        from .scan_tail_pallas import scan_tail_streams
 
         spos_k, sval_k, mids_k, mbase_k, n_single, n_multi = (
-            scan_tail_compact(
+            scan_tail_streams(
                 stat, base, thr_i, cap_single, cap_mc, interpret=interpret
             )
         )

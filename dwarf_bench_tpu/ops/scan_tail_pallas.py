@@ -38,6 +38,194 @@ from .compact_pallas import _compact_rows_multi
 _TILE = 2048
 _MAX_ROWS = 128
 _BIG = np.int32(0x7FFFFFFF)
+_ROWS = 8
+
+
+@partial(
+    jax.jit, static_argnames=("cap_single", "cap_mc", "interpret")
+)
+def scan_tail_streams(
+    stat: jnp.ndarray,
+    base: jnp.ndarray,
+    threshold,
+    cap_single: int,
+    cap_mc: int,
+    interpret: bool = False,
+):
+    """``scan_tail_compact`` semantics on the STREAMING carry-buffer
+    machinery (one kernel, sequential grid) instead of the single-step
+    merge tree: the round-3 single-shot kernel measured 1.852 ms at 2^24
+    — its (1, nch)-row pairwise merges run dynamic-shift rolls at 1/8
+    sublane utilization — while this structure (compact_pallas's per-row
+    butterfly + 8-row merge + 128-lane-aligned comb/carry DMA appends)
+    measures like compact_mask_pallas itself, but compacts BOTH
+    classified streams (singles' (base, thr−vsw), multis'
+    (chunk_id, base)) from one read of the chunk arrays.
+
+    Returns (spos, sval, mids, mbase, n_single, n_multi); spos carries
+    the _BIG sentinel past n_single, the other columns are garbage past
+    their counts."""
+    nch = stat.shape[0]
+    block = _ROWS * _TILE
+    pad = (-nch) % block
+    npad = nch + pad
+    nblocks = npad // block
+    # padding chunks carry stat = 0 (cnt = 0): neither single nor multi
+    stat2 = jnp.pad(stat.astype(jnp.int32), (0, pad)).reshape(-1, _TILE)
+    base2 = jnp.pad(base.astype(jnp.int32), (0, pad)).reshape(-1, _TILE)
+    thr_arr = jnp.full((1,), threshold, jnp.int32)
+    width = block + 128
+
+    def kernel(thr_ref, stat_ref, base_ref,
+               s0_ref, s1_ref, m0_ref, m1_ref, count_ref,
+               comb0, comb1, comb2, comb3,
+               carry0, carry1, carry2, carry3, state_ref, sems):
+        i = pl.program_id(0)
+        combs = (comb0, comb1, comb2, comb3)
+        carries = (carry0, carry1, carry2, carry3)
+        outs = (s0_ref, s1_ref, m0_ref, m1_ref)
+
+        @pl.when(i == 0)
+        def _():
+            for c in range(4):
+                carries[c][...] = jnp.zeros((1, 128), jnp.int32)
+            state_ref[0] = 0
+            state_ref[1] = 0
+            state_ref[2] = 0
+            state_ref[3] = 0
+
+        st = stat_ref[...]
+        bs = base_ref[...]
+        cnt = st >> 9
+        vsw = st & 511
+        single = (cnt == 1) & (vsw >= 1) & (vsw <= 255)
+        multi = (cnt >= 1) & ~single
+        sval = thr_ref[0] - vsw
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _TILE), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _TILE), 1)
+        chunk_id = i * block + sub * _TILE + lane
+
+        @pl.when(i > 0)
+        def _():
+            for c in range(4):
+                pltpu.make_async_copy(
+                    combs[c], outs[c].at[:, pl.ds(0, width)], sems.at[c]
+                ).wait()
+
+        for s, (mask, cols) in enumerate(
+            (((single), [bs, sval]), ((multi), [chunk_id, bs]))
+        ):
+            compacted, m = _compact_rows_multi(cols, mask, _TILE)
+            cnts = [
+                jnp.sum(jnp.where(sub == r, m, 0)) for r in range(_ROWS)
+            ]
+            col_rows = [
+                [
+                    jnp.sum(jnp.where(sub == r, comp, 0), axis=0,
+                            keepdims=True)
+                    for r in range(_ROWS)
+                ]
+                for comp in compacted
+            ]
+
+            def merge(a, ca, b):
+                w = a.shape[1]
+                aw = jnp.pad(a, ((0, 0), (0, w)))
+                bw = jnp.pad(b, ((0, 0), (0, w)))
+                lane2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 2 * w), 1
+                )
+                return jnp.where(lane2 < ca, aw, pltpu.roll(bw, ca, 1))
+
+            mcnts = list(cnts)
+            while len(mcnts) > 1:
+                for ci in range(2):
+                    col_rows[ci] = [
+                        merge(col_rows[ci][p], mcnts[p],
+                              col_rows[ci][p + 1])
+                        for p in range(0, len(mcnts), 2)
+                    ]
+                mcnts = [
+                    mcnts[p] + mcnts[p + 1]
+                    for p in range(0, len(mcnts), 2)
+                ]
+            scnt = mcnts[0]
+
+            off = state_ref[2 * s]
+            rem = state_ref[2 * s + 1]
+            lanew = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+            total = rem + scnt
+            adv = (total // 128) * 128
+            for ci in range(2):
+                c = 2 * s + ci
+                blk = col_rows[ci][0]
+                rolled = pltpu.roll(
+                    jnp.pad(blk, ((0, 0), (0, 128))), rem, 1
+                )
+                carry_wide = jnp.pad(
+                    carries[c][...], ((0, 0), (0, block))
+                )
+                combs[c][...] = jnp.where(lanew < rem, carry_wide, rolled)
+                pltpu.make_async_copy(
+                    combs[c],
+                    outs[c].at[:, pl.ds(pl.multiple_of(off, 128), width)],
+                    sems.at[c],
+                ).start()
+                back = pltpu.roll(combs[c][...], width - adv, 1)
+                carries[c][...] = back[:, :128]
+            state_ref[2 * s] = off + adv
+            state_ref[2 * s + 1] = total - adv
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            for c in range(4):
+                pltpu.make_async_copy(
+                    combs[c], outs[c].at[:, pl.ds(0, width)], sems.at[c]
+                ).wait()
+                dma = pltpu.make_async_copy(
+                    carries[c],
+                    outs[c].at[
+                        :,
+                        pl.ds(
+                            pl.multiple_of(state_ref[2 * (c // 2)], 128),
+                            128,
+                        ),
+                    ],
+                    sems.at[c],
+                )
+                dma.start()
+                dma.wait()
+            count_ref[0] = state_ref[0] + state_ref[1]
+            count_ref[1] = state_ref[2] + state_ref[3]
+
+    blockspec = pl.BlockSpec((_ROWS, _TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    outw = npad + block + 256
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  blockspec, blockspec],
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)] * 4)
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((1, outw), jnp.int32) for _ in range(4)
+        )
+        + (jax.ShapeDtypeStruct((2,), jnp.int32),),
+        scratch_shapes=[pltpu.VMEM((1, width), jnp.int32)
+                        for _ in range(4)]
+        + [pltpu.VMEM((1, 128), jnp.int32) for _ in range(4)]
+        + [pltpu.SMEM((4,), jnp.int32), pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(thr_arr, stat2, base2)
+    s0, s1, m0, m1, cnts = outs
+    ns, nm = cnts[0], cnts[1]
+    iota_s = jnp.arange(cap_single, dtype=jnp.int32)
+    spos = jnp.where(iota_s < ns, s0[0, :cap_single], _BIG)
+    return (
+        spos, s1[0, :cap_single], m0[0, :cap_mc], m1[0, :cap_mc], ns, nm
+    )
 
 
 def _merge_streams(comps, m, rows, tile):

@@ -86,30 +86,32 @@ def _expand_runs(counts: jnp.ndarray, n: int, shift=0) -> jnp.ndarray:
     so XLA's serialized scatter costs ~0.1 ms); the long inclusive cumsum
     streams once over the output (MXU Pallas kernel on accelerators — s
     sums to 16384 globally, far under its per-block 2^24 exactness bound —
-    with the -1+shift folded into its carry). On accelerators ``s`` is
-    int16 — multiplicities are ≤ nbins = 2^14, and the narrow column
-    halves the expansion kernel's input HBM traffic."""
+    with the -1+shift folded into its carry). ``s`` stays int32: narrow
+    indicator columns READ 2-4x fewer bytes but the sub-32-bit load+cast
+    lowers as a relayout that measured 3x SLOWER overall (0.448 vs
+    0.150 ms for the cumsum at 2^22 with int8 input —
+    scripts/measure_r4.py g5)."""
     starts = jnp.cumsum(counts) - counts  # exclusive; sorted, C[0] = 0
+    s = jnp.zeros((n,), jnp.int32).at[starts].add(1, mode="drop")
     shift = jnp.asarray(shift, jnp.int32)
     if jax.default_backend() == "cpu":
-        s = jnp.zeros((n,), jnp.int32).at[starts].add(1, mode="drop")
         return jnp.cumsum(s, dtype=jnp.int32) + (shift - 1)
     from .cumsum_pallas import cumsum_pallas
 
-    s = jnp.zeros((n,), jnp.int16).at[starts].add(
-        jnp.int16(1), mode="drop"
-    )
     return cumsum_pallas(s, carry_init=shift - 1)
 
 
 def histogram_dispatch(k: jnp.ndarray, hi_bins: int = 128) -> jnp.ndarray:
     """histogram_16k semantics; fused Pallas kernel on accelerators, the
-    XLA one-hot formulation on CPU (trace-time choice)."""
+    XLA one-hot formulation on CPU (trace-time choice). The accelerator
+    engine is the SWAR one-hot kernel (round 3): 0.360 vs 0.604 ms at
+    2^22/hi80 on v5e (scripts/measure_r4.py g2) — the bin-packed byte
+    patterns replace the compare+cast per (element, bin)."""
     if jax.default_backend() == "cpu":
         return histogram_16k(k, hi_bins=hi_bins)
-    from .hist_pallas import histogram_16k_pallas
+    from .hist_pallas import histogram_16k_swar_pallas
 
-    return histogram_16k_pallas(k, hi_bins=hi_bins)
+    return histogram_16k_swar_pallas(k, hi_bins=hi_bins)
 
 
 def _sort_counting_shifted(

@@ -487,6 +487,72 @@ def g9():
           f"(absdiff={diff})", flush=True)
 
 
+# --- g10: fused-scan piece timings (the g1 regression hunt) --------------
+
+
+def g10():
+    from dwarf_bench_tpu.ops import scan
+    from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+    from dwarf_bench_tpu.ops.chunk_stats_pallas import (
+        chunk_stats_fused,
+        chunk_stats_pallas,
+    )
+    from dwarf_bench_tpu.ops.scan_tail_pallas import scan_tail_compact
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    x = jnp.asarray(rng.integers(1, 10001, n).astype(np.int32))
+    x2 = x.reshape(-1, 128)
+    thr = jnp.int32(5)
+    for name, fn in (
+        ("fused", chunk_stats_fused),
+        ("pallas_r2", chunk_stats_pallas),
+        ("xla", chunk_stats_xla),
+    ):
+        t = time_amortized(jax.jit(fn), x2, thr)
+        print(f"g10 stats {name} 2^24: {t*1e3:.3f} ms", flush=True)
+    stat, base = chunk_stats_xla(x2, thr)
+    cap_s, cap_m = max(16384, n >> 10), max(512, n >> 15)
+    f = jax.jit(partial(scan_tail_compact, cap_single=cap_s,
+                        cap_mc=cap_m))
+    t = time_amortized(f, stat, base, thr)
+    print(f"g10 scan_tail_compact 2^24: {t*1e3:.3f} ms", flush=True)
+    t = time_amortized(
+        jax.jit(partial(scan.filter_sparse, stats_pallas=False)), x
+    )
+    print(f"g10 filter_sparse OLD path 2^24: {t*1e3:.3f} ms", flush=True)
+
+
+# --- g12: the round-3 scan combination ----------------------------------
+
+
+def g12():
+    from dwarf_bench_tpu.ops import scan
+    from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+    from dwarf_bench_tpu.ops.scan_tail_pallas import scan_tail_streams
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    x = jnp.asarray(rng.integers(1, 10001, n).astype(np.int32))
+    stat, base = chunk_stats_xla(x.reshape(-1, 128), jnp.int32(5))
+    cap_s, cap_m = max(16384, n >> 10), max(512, n >> 15)
+    f = jax.jit(partial(scan_tail_streams, cap_single=cap_s,
+                        cap_mc=cap_m))
+    t = time_amortized(f, stat, base, jnp.int32(5))
+    print(f"g12 scan_tail_streams 2^24: {t*1e3:.3f} ms", flush=True)
+    t = time_amortized(jax.jit(scan.filter_sparse), x)
+    print(f"g12 filter_sparse NEW (xla stats + streams) 2^24: "
+          f"{t*1e3:.3f} ms", flush=True)
+    # correctness on device: count + checksum vs old path
+    o1, c1 = scan.filter_sparse(x)
+    o2, c2 = scan.filter_sparse(x, stats_pallas=False)
+    c1, c2 = int(_sync_scalar(c1)), int(_sync_scalar(c2))
+    s1 = int(_sync_scalar(jnp.sum(o1[:c1].astype(jnp.uint32))))
+    s2 = int(_sync_scalar(jnp.sum(o2[:c2].astype(jnp.uint32))))
+    print(f"g12 device check: counts {c1}=={c2}, sums {s1}=={s2}",
+          flush=True)
+
+
 def main():
     from dwarf_bench_tpu.common.device import (
         enable_persistent_compile_cache,

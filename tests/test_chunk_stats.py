@@ -132,3 +132,38 @@ def test_emit_prefix(rng, l, cap):
     out = np.asarray(emit_prefix_pallas(jnp.asarray(v), cap, interpret=True))
     assert out.shape == (cap,)
     assert np.array_equal(out[:l], v)
+
+
+@pytest.mark.parametrize("nch,density", [(8192, 0.0005), (131072, 0.0005),
+                                         (20000, 0.01), (2048, 0.0)])
+def test_scan_tail_streams(rng, nch, density):
+    """The streaming two-mask tail kernel (the shipped round-3 engine)
+    reproduces both chunk-level compactions exactly at any nch."""
+    from dwarf_bench_tpu.ops.primitives import compact_multi
+    from dwarf_bench_tpu.ops.scan_tail_pallas import scan_tail_streams
+
+    thr = 5
+    x2 = rng.integers(1, 10001, (nch, 128)).astype(np.int32)
+    hit = rng.random((nch, 128)) < density
+    x2[hit] = rng.integers(-1000, 5, hit.sum()).astype(np.int32)
+    stat, base = chunk_stats_xla(jnp.asarray(x2), thr)
+    cnt, vsw = stat >> 9, stat & 511
+    single = (cnt == 1) & (vsw >= 1) & (vsw <= 255)
+    multi = (cnt >= 1) & ~single
+    cap_s, cap_m = 16384, 2048
+    spos, sval, mids, mbase, ns, nm = scan_tail_streams(
+        stat, base, thr, cap_s, cap_m, interpret=True
+    )
+    (rpos, rval), rns = compact_multi(
+        (base, jnp.int32(thr) - vsw), single, capacity=cap_s
+    )
+    (rmids, rmbase), rnm = compact_multi(
+        (jnp.arange(nch, dtype=jnp.int32), base), multi, capacity=cap_m
+    )
+    ns, nm = int(ns), int(nm)
+    assert (ns, nm) == (int(rns), int(rnm))
+    assert np.array_equal(np.asarray(spos[:ns]), np.asarray(rpos[:ns]))
+    assert np.array_equal(np.asarray(sval[:ns]), np.asarray(rval[:ns]))
+    assert np.all(np.asarray(spos[ns:]) == np.int32(0x7FFFFFFF))
+    assert np.array_equal(np.asarray(mids[:nm]), np.asarray(rmids[:nm]))
+    assert np.array_equal(np.asarray(mbase[:nm]), np.asarray(rmbase[:nm]))
