@@ -165,8 +165,10 @@ def filter_sparse(
     # tail classification + BOTH chunk-level compactions collapse into
     # ONE streaming kernel (scan_tail_pallas.scan_tail_streams, the
     # carry-buffer machinery; the single-step merge-tree variant
-    # measured 1.852 ms and is likewise kept only as a negative
-    # result). All numbers: scripts/measure_r4.py g10.
+    # measured 0.377 ms standalone and is likewise kept only as a
+    # negative result). Interleaved e2e A/B at 2^24: THIS path
+    # 0.239-0.244 ms vs the round-2 multi-dispatch path 0.310-0.313 —
+    # a 1.3x end-to-end win. Numbers: scripts/measure_r4.py g10/g12.
     use_fused = (
         jax.default_backend() != "cpu" or interpret
     ) and stats_pallas is None
