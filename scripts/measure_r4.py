@@ -24,9 +24,22 @@ Groups (run as `python scripts/measure_r4.py g2 g3 ...`):
       2-op (256,4096)/(512,2048)/(128,8192); and 2^21-element (512,4096).
   g5: counting-sort expansion pieces at 2^22: full _expand_runs; the 16K
       boundary scatter alone; cumsum_pallas alone (verdict r2 #3).
-  g6: join probe pieces at 2^20: gather_16k_rel (shipped f32-HIGHEST);
-      gather_16k int8 4-plane on packed3; full build_dense / probe_dense
-      split so the 2.0 ms budget is itemized (verdict r2 #8).
+  g6: join probe pieces at 2^20: gather_16k_rel (shipped f32-HIGHEST,
+      plus hi80 and int8-4-plane variants — both measured SLOWER);
+      full build_dense / probe_dense split so the 2.0 ms budget is
+      itemized (verdict r2 #8).
+  g7: scan tail pieces standalone at 2^24 (each carries ~0.1 ms of
+      standalone-jit overhead — in-pipeline costs are far lower, which
+      is why the old 7-dispatch pipeline sums to 0.31 ms, not 0.9).
+  g9: G=2^16 weighted-histogram SWAR A/B (0.798 vs 0.822 — MXU-bound).
+  g10/g12: the scan-engine decision data: stats XLA 0.180 / pallas-r2
+      0.218 / fused-packed 0.316 standalone; single-step tail 0.377 vs
+      streaming tail 0.198; end-to-end interleaved A/B: xla-stats +
+      streaming tail 0.239-0.244 ms vs the round-2 path 0.310-0.313.
+
+  CAUTION: run with the host QUIET — a concurrent CPU sweep inflated
+  an earlier batch's readings up to 6x (the queue-k enqueue side is
+  host-bound); every number above was re-taken quiet.
 """
 
 from __future__ import annotations
