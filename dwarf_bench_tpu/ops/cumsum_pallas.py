@@ -31,13 +31,18 @@ _R = 128
 _W = 1024
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "two_plane"))
 def cumsum_pallas(
-    x: jnp.ndarray, carry_init=0, interpret: bool = False
+    x: jnp.ndarray, carry_init=0, interpret: bool = False,
+    two_plane: bool = True,
 ) -> jnp.ndarray:
     """Inclusive int32 cumsum of a 1D int32/int16/int8 column, plus
-    ``carry_init``. PRECONDITION: every 131072-element block sums to
-    < 2^24 in magnitude.
+    ``carry_init``. PRECONDITIONS: -2^15 <= x < 2^15 elementwise (the
+    sign-preserving two-bf16-plane operand split below covers int16
+    range — or |x| <= 255 with ``two_plane=False``, which skips the
+    second plane dot; ops/sort._expand_runs dispatches on the max
+    boundary multiplicity it derives from the histogram's zero runs),
+    and every 131072-element block sums to < 2^24 in magnitude.
 
     Narrow (int8/int16) inputs are accepted but MEASURED SLOWER on v5e:
     the sub-32-bit VMEM load + cast lowers as a relayout that cost 3x
@@ -70,17 +75,47 @@ def cumsum_pallas(
             lt_ref[...] = (sa > sb).astype(jnp.float32)
             carry_ref[0] = init_ref[0]
 
-        xf = x_ref[...].astype(jnp.float32)  # (R, W)
-        pc = jax.lax.dot_general(
-            xf, ut_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # within-row inclusive prefix
+        xi = x_ref[...].astype(jnp.int32)  # (R, W)
+        # within-row inclusive prefix. Mosaic's DEFAULT-precision f32
+        # dot truncates operands to bf16 (8-bit mantissa), and input
+        # values CAN exceed 255: the counting sort's boundary column
+        # carries one multiplicity per run of empty bins — thousands in
+        # degenerate distributions. Split into two 8-bit planes (each
+        # exact in bf16; the UT side is 0/1): two cheap dots instead of
+        # one 6-pass HIGHEST dot on the big operand.
+        dims = (((1,), (0,)), ((), ()))
+        if two_plane:
+            lo = (xi & 0xFF).astype(jnp.float32)
+            # arithmetic shift keeps the sign in the hi plane: x =
+            # 256·hi + lo for any |x| < 2^15, hi in [-128, 127] (exact
+            # in bf16)
+            hi = (xi >> 8).astype(jnp.float32)
+            pc = jax.lax.dot_general(
+                lo, ut_ref[...], dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            ) + 256.0 * jax.lax.dot_general(
+                hi, ut_ref[...], dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            pc = jax.lax.dot_general(
+                xi.astype(jnp.float32), ut_ref[...],
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
         totals = pc[:, _W - 1 :]  # (R, 1) row sums
+        # HIGHEST is REQUIRED here: Mosaic's default f32 dot truncates
+        # operands to bf16, and row totals exceed 256 (bf16's exact-int
+        # limit) whenever one 131072-block holds > 256 boundary markers
+        # — true for every small-n counting sort. The silent one-off
+        # run shifts were caught by the first TPU small-grid radix
+        # sweep (0/9 valid at 25600). The matvec is (R, R) @ (R, 1) —
+        # the 6-pass cost is noise.
         ro = jax.lax.dot_general(
             lt_ref[...], totals,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (R, 1) sum of EARLIER rows
         out_ref[...] = (
             pc.astype(jnp.int32) + ro.astype(jnp.int32) + carry_ref[0]

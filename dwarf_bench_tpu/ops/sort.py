@@ -98,7 +98,27 @@ def _expand_runs(counts: jnp.ndarray, n: int, shift=0) -> jnp.ndarray:
         return jnp.cumsum(s, dtype=jnp.int32) + (shift - 1)
     from .cumsum_pallas import cumsum_pallas
 
-    return cumsum_pallas(s, carry_init=shift - 1)
+    # max boundary multiplicity = 1 + the longest internal zero-count
+    # run (empty bins share their successor's start). Benchmark-scale
+    # sorts have multiplicities ~1 and take the single-plane kernel;
+    # small/degenerate sorts (where multiplicities exceed bf16's 256
+    # exact-int limit — the small-grid sweep's 0/9-valid bug) take the
+    # exact two-plane split. K-vector math, lax.cond dispatch.
+    kb = counts.shape[0]
+    idx = jnp.arange(kb, dtype=jnp.int32)
+    nz = counts > 0
+    last_nz = jax.lax.cummax(jnp.where(nz, idx, -1))
+    prev_strict = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_nz[:-1]]
+    )
+    maxmult = jnp.max(jnp.where(nz, idx - prev_strict, 0))
+    return jax.lax.cond(
+        maxmult > 255,
+        lambda v: cumsum_pallas(v, carry_init=shift - 1),
+        lambda v: cumsum_pallas(v, carry_init=shift - 1,
+                                two_plane=False),
+        s,
+    )
 
 
 def histogram_dispatch(k: jnp.ndarray, hi_bins: int = 128) -> jnp.ndarray:

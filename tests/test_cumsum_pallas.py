@@ -37,3 +37,22 @@ def test_expand_runs_equivalence(rng):
     exp = np.cumsum(np.asarray(s)) - 1
     assert np.array_equal(got, exp)
     assert np.array_equal(got, np.sort(k, kind="stable"))
+
+
+def test_wide_multiplicities(rng):
+    """Values past bf16's 256 exact-int limit: the device bug caught by
+    the first TPU small-grid radix sweep (0/9 valid at 25600) — the
+    counting sort's boundary column carries one multiplicity per run of
+    empty bins, which exceeds 256 in small/degenerate sorts. The
+    sign-preserving two-plane operand split must stay exact to 2^15."""
+    s = np.zeros(25600, np.int32)
+    idx = rng.integers(0, 25600, 10240)
+    np.add.at(s, idx, 1)
+    s[7] = 9000
+    s[200] = 300
+    got = np.asarray(cumsum_pallas(jnp.asarray(s), interpret=True))
+    assert np.array_equal(got, np.cumsum(s).astype(np.int32))
+    s2 = np.zeros(256, np.int32)
+    s2[0] = 16384  # all 2^14 bins sharing one start (all-equal keys)
+    got = np.asarray(cumsum_pallas(jnp.asarray(s2), interpret=True))
+    assert np.array_equal(got, np.cumsum(s2).astype(np.int32))
