@@ -75,8 +75,11 @@ def histogram_16k(k: jnp.ndarray, hi_bins: int = 128) -> jnp.ndarray:
     return jnp.sum(partials, axis=0, dtype=jnp.int32).reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _expand_runs(counts: jnp.ndarray, n: int, shift=0) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("n", "force_pallas", "interpret"))
+def _expand_runs(
+    counts: jnp.ndarray, n: int, shift=0,
+    force_pallas: bool = False, interpret: bool = False,
+) -> jnp.ndarray:
     """Sorted bin-index column (plus ``shift``) from a histogram:
     out[i] = shift + the b such that C[b] <= i < C[b+1], C = exclusive
     cumsum of counts.
@@ -94,7 +97,10 @@ def _expand_runs(counts: jnp.ndarray, n: int, shift=0) -> jnp.ndarray:
     starts = jnp.cumsum(counts) - counts  # exclusive; sorted, C[0] = 0
     s = jnp.zeros((n,), jnp.int32).at[starts].add(1, mode="drop")
     shift = jnp.asarray(shift, jnp.int32)
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not force_pallas:
+        # force_pallas + interpret lets CI exercise the accelerator
+        # path's exactness on CPU — the 2026-08 bf16-truncation bug
+        # lived exclusively here and the CPU-only test grid missed it
         return jnp.cumsum(s, dtype=jnp.int32) + (shift - 1)
     from .cumsum_pallas import cumsum_pallas
 
@@ -114,9 +120,10 @@ def _expand_runs(counts: jnp.ndarray, n: int, shift=0) -> jnp.ndarray:
     maxmult = jnp.max(jnp.where(nz, idx - prev_strict, 0))
     return jax.lax.cond(
         maxmult > 255,
-        lambda v: cumsum_pallas(v, carry_init=shift - 1),
         lambda v: cumsum_pallas(v, carry_init=shift - 1,
-                                two_plane=False),
+                                interpret=interpret),
+        lambda v: cumsum_pallas(v, carry_init=shift - 1,
+                                two_plane=False, interpret=interpret),
         s,
     )
 

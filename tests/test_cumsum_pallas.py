@@ -56,3 +56,22 @@ def test_wide_multiplicities(rng):
     s2[0] = 16384  # all 2^14 bins sharing one start (all-equal keys)
     got = np.asarray(cumsum_pallas(jnp.asarray(s2), interpret=True))
     assert np.array_equal(got, np.cumsum(s2).astype(np.int32))
+
+
+@pytest.mark.parametrize("n", [256, 25600, 100_000])
+def test_expand_runs_pallas_path_small_n(rng, n):
+    """The ACCELERATOR expansion path at small n (multiplicities > 1;
+    > 255 in the degenerate case) — the 2026-08 bf16-truncation bug
+    lived exclusively here and the CPU-only grid missed it. force_pallas
+    + interpret runs the real kernel dispatch on the CPU backend."""
+    from dwarf_bench_tpu.ops.sort import _expand_runs, histogram_16k
+
+    for keys in (
+        rng.integers(0, 10000, n).astype(np.int32),
+        np.full(n, 9000, np.int32),  # degenerate: all equal
+    ):
+        counts = histogram_16k(jnp.asarray(keys), hi_bins=80)
+        got = np.asarray(
+            _expand_runs(counts, n, force_pallas=True, interpret=True)
+        )
+        assert np.array_equal(got, np.sort(keys)), n
