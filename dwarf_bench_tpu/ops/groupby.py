@@ -52,8 +52,17 @@ def groupby_sum_matmul(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
         onehot = (kt_i[:, None] == jnp.arange(num_groups)[None, :]).astype(
             jnp.float32
         )
-        # (1, TILE) @ (TILE, G) on the MXU; exact in f32 (partials < 2^24)
-        return (vt_i[None, :] @ onehot)[0].astype(jnp.int32)
+        # (1, TILE) @ (TILE, G) on the MXU; exact in f32 (partials < 2^24).
+        # HIGHEST is REQUIRED on TPU: the default truncates the f32 value
+        # operand to bf16 (8-bit mantissa), silently rounding any value
+        # past 256 (the Mosaic/XLA-TPU default-precision hazard caught by
+        # the small-grid radix sweep; docs/performance.md round 3).
+        return (
+            jnp.matmul(
+                vt_i[None, :], onehot,
+                precision=jax.lax.Precision.HIGHEST,
+            )[0]
+        ).astype(jnp.int32)
 
     partials = jax.vmap(tile_partial)(kt, vt)  # (tiles, G) int32
     return jnp.sum(partials, axis=0, dtype=jnp.int32).astype(jnp.uint32)
@@ -239,7 +248,14 @@ def groupby_partials(
         onehot = (kc_i[:, None] == jnp.arange(num_groups)[None, :]).astype(
             jnp.float32
         )
-        return (vc_i[None, :] @ onehot)[0].astype(jnp.int32)
+        # HIGHEST: the value operand exceeds bf16's 256 exact-int limit
+        # (see groupby_sum_matmul) — the TPU default would round it
+        return (
+            jnp.matmul(
+                vc_i[None, :], onehot,
+                precision=jax.lax.Precision.HIGHEST,
+            )[0]
+        ).astype(jnp.int32)
 
     if per > _TILE:
         # keep f32 exactness: split each chunk into ≤1024-row tiles
