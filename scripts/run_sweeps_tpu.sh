@@ -22,7 +22,11 @@ for SZ in "$@"; do
   fi
   LOG="${CSV%.csv}.log"
   echo "=== ${DWARF} size ${SZ} ===" | tee -a "$LOG"
-  timeout 1500 python -m dwarf_bench_tpu "$DWARF" --device="${DEVICE,,}" \
+  # generous last-resort timeout: killing a client MID-COMPILE wedges
+  # the remote device claim for ~25-30 min (every later size then blocks
+  # and gets killed in turn) — compile waits of 20+ min are normal when
+  # the compile server is loaded, so only a truly hung size may die
+  timeout "${SWEEP_TIMEOUT:-3600}" python -m dwarf_bench_tpu "$DWARF" --device="${DEVICE,,}" \
     --input_size "$SZ" --report_path="$CSV" --iterations="$ITER" \
     2> >(grep -v "xla_bridge" | tee -a "$LOG" >&2) \
     || echo "FAILED ${DWARF} ${SZ} (rc $?)" | tee -a "$LOG"
