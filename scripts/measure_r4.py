@@ -566,6 +566,137 @@ def g12():
           flush=True)
 
 
+# --- g13: G=64 group-by dot-count reduction ------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_groups", "rows", "w", "stack",
+                                   "interpret"))
+def groupby_small_stacked(k, v, num_groups, rows=32, w=4096, stack=4,
+                          interpret=False):
+    """groupby_small_pallas semantics with ``stack`` row-iterations fused
+    into ONE dot: A stacks [oh_a·vlo ; oh_a·vhi] for ``stack`` rows
+    (2·stack bands of ga sublanes), B stacks oh_b for the same rows; the
+    (2·stack·ga, stack·gb) result's useful blocks are the (lo, hi) plane
+    diagonals, extracted with static slices. Cuts per-block dot issues
+    from 2·rows to rows/stack (64 -> 8 at rows=32, stack=4) at the price
+    of stack× wasted MACs — the MXU is idle in this kernel, the dots'
+    ISSUE overhead is the suspect (r2c's concat experiment conflated W
+    with the dot count)."""
+    from dwarf_bench_tpu.ops.groupby_pallas import _digit_split
+
+    ga, gb = _digit_split(num_groups)
+    shift = int(np.log2(gb))
+    sentinel = np.uint32(ga << shift)
+    assert 127 * rows * w < (1 << 24), (rows, w)
+    assert rows % stack == 0
+    n = k.shape[0]
+    block = rows * w
+    pad = (-n) % block
+    kp = jnp.pad(k.astype(jnp.uint32), (0, pad), constant_values=sentinel)
+    vp = jnp.pad(v.astype(jnp.int32), (0, pad))
+    k2 = kp.astype(jnp.int32).reshape(-1, w)
+    v2 = vp.reshape(-1, w)
+    nblocks = (n + pad) // block
+
+    def kernel(k_ref, v_ref, out_ref, acc_int):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_int[...] = jnp.zeros((ga, gb), jnp.int32)
+
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (ga, w), 0)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (gb, w), 0)
+        dims = (((1,), (1,)), ((), ()))
+        blk_lo = jnp.zeros((ga, gb), jnp.float32)
+        blk_hi = jnp.zeros((ga, gb), jnp.float32)
+        for g in range(rows // stack):
+            a_bands = []
+            b_bands = []
+            for j in range(stack):
+                r = g * stack + j
+                row = k_ref[r, :].reshape(1, w)
+                val = v_ref[r, :].reshape(1, w)
+                bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+                hi = jnp.where(bad, np.int32(ga), row >> shift)
+                lo = row & (gb - 1)
+                oh_a = (jnp.broadcast_to(hi, (ga, w)) == iota_a).astype(
+                    jnp.bfloat16
+                )
+                oh_b = (jnp.broadcast_to(lo, (gb, w)) == iota_b).astype(
+                    jnp.bfloat16
+                )
+                vlo = jnp.broadcast_to(
+                    (val & 0x7F).astype(jnp.bfloat16), (ga, w))
+                vhi = jnp.broadcast_to(
+                    ((val >> 7) & 0x7F).astype(jnp.bfloat16), (ga, w))
+                a_bands.append(oh_a * vlo)
+                a_bands.append(oh_a * vhi)
+                b_bands.append(oh_b)
+            A = jnp.concatenate(a_bands, axis=0)   # (2*stack*ga, w)
+            B = jnp.concatenate(b_bands, axis=0)   # (stack*gb, w)
+            big = jax.lax.dot_general(
+                A, B, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )  # (2*stack*ga, stack*gb); useful: plane-diagonal blocks
+            for j in range(stack):
+                blk_lo = blk_lo + big[
+                    2 * j * ga:(2 * j + 1) * ga, j * gb:(j + 1) * gb]
+                blk_hi = blk_hi + big[
+                    (2 * j + 1) * ga:(2 * j + 2) * ga,
+                    j * gb:(j + 1) * gb]
+        acc_int[...] += blk_lo.astype(jnp.int32) + (
+            blk_hi.astype(jnp.int32) << 7
+        )
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            out_ref[...] = acc_int[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ga, gb), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ga, gb), jnp.int32)],
+        interpret=interpret,
+    )(k2, v2)
+    return out.reshape(-1)[:num_groups].astype(jnp.uint32)
+
+
+def g13():
+    from dwarf_bench_tpu.ops.groupby_pallas import groupby_small_pallas
+
+    rng = np.random.default_rng(0)
+    n, G = 1 << 22, 64
+    k = jnp.asarray(rng.integers(0, G, n).astype(np.uint32))
+    v = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.uint32))
+    ref = groupby_small_pallas(k, v, G)
+    t0 = time_amortized(
+        jax.jit(partial(groupby_small_pallas, num_groups=G)), k, v)
+    print(f"g13 shipped G=64: {t0*1e3:.3f} ms", flush=True)
+    for stack in (2, 4, 8):
+        try:
+            got = groupby_small_stacked(k, v, G, stack=stack)
+            diff = int(_sync_scalar(jnp.sum(jnp.abs(
+                ref.astype(jnp.int32) - got.astype(jnp.int32)))))
+            t = time_amortized(
+                jax.jit(partial(groupby_small_stacked, num_groups=G,
+                                stack=stack)), k, v)
+            print(f"g13 stacked x{stack}: {t*1e3:.3f} ms (absdiff={diff})",
+                  flush=True)
+        except Exception as e:
+            print(f"g13 stacked x{stack}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:150]}", flush=True)
+
+
 def main():
     from dwarf_bench_tpu.common.device import (
         enable_persistent_compile_cache,
