@@ -51,6 +51,15 @@ _SEG = _W // 128  # 128-lane chunks per sublane row
 def chunk_stats_fused(x2: jnp.ndarray, threshold, interpret: bool = False):
     """chunk_stats_xla semantics in ONE kernel, ``base`` included.
 
+    MEASURED NEGATIVE RESULT — the shipped scan keeps chunk_stats_xla:
+    quiet-host standalone at 2^24 this kernel is 0.316 ms vs 0.218 for
+    the two-dot round-2 Pallas kernel and 0.180 for the XLA reductions
+    (scripts/measure_r4.py g10) — the single packed dot must run at
+    Precision.HIGHEST (6 passes) on a skinny matmul, which costs more
+    than the dot it saves. Kept A/B-addressable and unit-tested as the
+    record, and as the only stats variant that yields ``base`` with no
+    separate cumsum.
+
     Differences from ``chunk_stats_pallas`` (round-2, kept below):
 
       * ONE segment matmul instead of two: the per-element operand packs

@@ -272,6 +272,14 @@ def scan_tail_compact(
 ):
     """(spos, sval, mids, mbase, n_single, n_multi) from per-chunk stats.
 
+    MEASURED NEGATIVE RESULT — superseded by ``scan_tail_streams``: this
+    single-grid-step variant's pairwise merge tree runs dynamic-shift
+    rolls over (1, nch) rows at 1/8 sublane utilization and measured
+    0.377 ms standalone at 2^24 vs 0.198 for the streaming version
+    (scripts/measure_r4.py g10/g12). Kept A/B-addressable and
+    unit-tested as the record of why the streaming carry-buffer
+    structure is the right one.
+
     spos carries the _BIG sentinel past n_single (ordering-sort contract);
     mids/mbase are garbage past n_multi (callers mask, as with the
     previous compact_mask_pallas output)."""
