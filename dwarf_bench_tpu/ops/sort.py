@@ -170,9 +170,17 @@ def sort_auto(x: jnp.ndarray) -> jnp.ndarray:
     the one-hot construction is the VPU floor, so fewer hi bins are
     proportionally cheaper: 0.61 vs 0.77 ms at 2^22, measure_r3b.py e2),
     XLA's comparison sort otherwise. The range check is one fused min/max
-    pass; ``lax.cond`` executes only the taken branch per call."""
+    pass; ``lax.cond`` executes only the taken branch per call.
+
+    The CPU backend takes ``lax.sort`` unconditionally (trace-time
+    dispatch, like every engine here): the one-hot-matmul counting sort
+    is an MXU design — emulated matmuls made the CPU sweep's 2^25 size
+    blow a 1-hour budget — and the reference's own CPU path is a
+    comparison sort anyway (oneDPL std::sort, sort/radix.cpp:34)."""
     if x.shape[0] == 0:
         return x
+    if jax.default_backend() == "cpu":
+        return jax.lax.sort(x)
     minv = jnp.min(x)
     maxv = jnp.max(x)
     # max - min in uint32 is exact for any int32 pair (the true difference
