@@ -30,10 +30,21 @@ from functools import partial
 import numpy as np
 
 
-def _time_op(fn, *args, k=8):
+def _time_op(fn, *args, k=8, repeats=3):
+    """min over ``repeats`` independent queue-k measurements.
+
+    time_amortized already hardens each reading against tunnel sync
+    jitter (deep queues until the execution spread dwarfs it), but a
+    noisy HOST window (driver-side concurrent work) inflates the enqueue
+    slope itself for seconds at a time — round 3's driver artifact read
+    the scan 10% above the quiet-host number for exactly that reason
+    (docs/performance.md, round-4 reconciliation). The min of three
+    readings spaced across ~10 s never under-reports device time (the
+    slope cannot read fast) and recovers the quiet-host figure when any
+    window is clean."""
     from dwarf_bench_tpu.utils.timing import time_amortized
 
-    return time_amortized(fn, *args, k=k)
+    return min(time_amortized(fn, *args, k=k) for _ in range(repeats))
 
 
 def main() -> None:
@@ -149,6 +160,90 @@ def main() -> None:
         # 0.04% selectivity, Pallas butterfly fallback when caps trip
         return n / _time_op(jax.jit(scan.filter_sparse), x)
 
+    # ---- non-geomean extras (round-4 verdict item 6) -----------------
+    # Reduce is the read-bound speed-of-light witness (reference:
+    # reduce/reduce.cpp:50-61); the 2^24-key hash build/probe rates are
+    # the BASELINE config-#4 evidence. They report alongside the five
+    # headline components but do NOT enter the geomean (cross-round
+    # comparability).
+
+    def run_reduce_extra():
+        from dwarf_bench_tpu.ops import reduce as reduce_ops
+        from dwarf_bench_tpu.utils.roofline import ACHIEVABLE_ROWS_PER_S
+
+        n = 1 << 24
+        x = jax.device_put(
+            rng.integers(1, 10000, n, endpoint=True).astype(np.int32),
+            device,
+        )
+        fn = reduce_ops.reduce_sum_pallas if on_accel else (
+            reduce_ops.reduce_sum_xla
+        )
+        t = _time_op(jax.jit(fn), x)
+        extras["reduce_rows_per_s"] = round(n / t)
+        extras["reduce_roofline_frac"] = round(
+            (n / t) / (bw / BYTES_PER_ROW["reduce"]), 4
+        )
+        extras["reduce_frac_of_achievable"] = round(
+            (n / t) / ACHIEVABLE_ROWS_PER_S["reduce"], 4
+        )
+
+    def run_hash2p24_extra():
+        # BASELINE config #4 at bench scale: single timed runs (the
+        # builds run seconds, not µs — host wall with a real fence is
+        # the honest measure; queue-k depth-1000 would take hours).
+        from dwarf_bench_tpu.ops import bucket_hash, cuckoo
+        from dwarf_bench_tpu.utils.timing import timed
+
+        # BENCH_HASH_N: CI smoke override (CPU can't run 2^24 in budget)
+        n = int(os.environ.get("BENCH_HASH_N", str(1 << 24)))
+        keys = (
+            rng.permutation(2 * n)[:n].astype(np.uint32) + 1
+        )  # distinct, <= 2n
+        vals = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        dk = jax.device_put(keys, device)
+        dv = jax.device_put(vals, device)
+        # 50% hit-rate probe set: half inserted keys, half absent (keys
+        # are <= 2n; absent probes live past 4n)
+        probes = np.empty(n, np.uint32)
+        probes[: n // 2] = keys[: n // 2]
+        probes[n // 2 :] = (
+            rng.integers(0, n, n // 2).astype(np.uint32)
+            + np.uint32(4 * n)
+        )
+        dp = jax.device_put(probes, device)
+
+        nb = bucket_hash.calculate_buckets_count(n)
+        build_fn = jax.jit(
+            lambda k, v: bucket_hash.build(k, v, num_buckets=nb)
+        )
+        tbl, _ = timed(build_fn, dk, dv)  # compile+warm
+        _, t_build = timed(build_fn, dk, dv)
+        t_probe = _time_op(jax.jit(bucket_hash.find), tbl, dp, repeats=1)
+        extras["slab_build_2p24_ms"] = round(t_build * 1e3, 2)
+        extras["slab_probe_hit50_2p24_ms"] = round(t_probe * 1e3, 2)
+        extras["slab_probe_hit50_rows_per_s"] = round(n / t_probe)
+
+        ht_size = 4 * n
+        max_iters = 100_000
+        t0 = time.time()
+        attempt = 0
+        while True:  # host rebuild loop (cuckoo_hash_build.cpp:43-93)
+            tbl, t_try = timed(
+                cuckoo.build, dk, ht_size,
+                np.uint32(0x9E3779B9 + attempt),
+                np.uint32(0x85EBCA6B + 2 * attempt), max_iters,
+            )
+            if bool(tbl.success) or attempt >= 4:
+                break
+            attempt += 1
+        extras["cuckoo_build_2p24_ms"] = round((time.time() - t0) * 1e3, 1)
+        extras["cuckoo_build_2p24_rounds"] = int(tbl.rounds)
+        extras["cuckoo_build_2p24_attempts"] = attempt + 1
+        extras["cuckoo_build_2p24_converged"] = bool(tbl.success)
+        t_has = _time_op(jax.jit(cuckoo.has), tbl, dp, repeats=1)
+        extras["cuckoo_probe_hit50_2p24_ms"] = round(t_has * 1e3, 2)
+
     # (name, runner, minimum seconds of budget to attempt it —
     # remote-compile estimates on the accelerator; CPU compiles are fast)
     components = [
@@ -158,6 +253,10 @@ def main() -> None:
         ("join", run_join, 420 if on_accel else 20),
         ("scan", run_scan, 700 if on_accel else 20),
     ]
+    extra_components = [
+        ("reduce_extra", run_reduce_extra, 120 if on_accel else 10),
+        ("hash2p24_extra", run_hash2p24_extra, 600 if on_accel else 30),
+    ]
     for name, runner, min_budget in components:
         if remaining() < min_budget:
             skipped.append(name)
@@ -166,8 +265,28 @@ def main() -> None:
             measured[name] = runner()
         except Exception as e:  # noqa: BLE001 — a dead component must not
             skipped.append(f"{name}:{type(e).__name__}")  # kill the report
+    for name, runner, min_budget in extra_components:
+        if remaining() < min_budget:
+            skipped.append(name)
+            continue
+        try:
+            runner()
+        except Exception as e:  # noqa: BLE001
+            skipped.append(f"{name}:{type(e).__name__}")
+
+    from dwarf_bench_tpu.utils.roofline import ACHIEVABLE_ROWS_PER_S
 
     target = {op: 0.7 * bw / BYTES_PER_ROW[op] for op in measured}
+    # dual-bound report (round-4 verdict item 7): the BW targets stay
+    # fixed for cross-round comparability, but several operators are
+    # compute-bound by construction on TPU — frac_of_achievable tracks
+    # progress against the documented per-component bound instead
+    # (utils/roofline.ACHIEVABLE_ROWS_PER_S ↔ docs/performance.md).
+    frac_ach = {
+        op: round(v / ACHIEVABLE_ROWS_PER_S[op], 4)
+        for op, v in measured.items()
+        if op in ACHIEVABLE_ROWS_PER_S
+    }
     if measured:
         geo = float(np.exp(np.mean([np.log(v) for v in measured.values()])))
         geo_target = float(
@@ -188,6 +307,7 @@ def main() -> None:
                     k: round(v) for k, v in measured.items()
                 },
                 "targets_rows_per_s": {k: round(v) for k, v in target.items()},
+                "frac_of_achievable": frac_ach,
                 "skipped": skipped,
                 "elapsed_s": round(time.time() - t_start, 1),
                 "device": str(device),

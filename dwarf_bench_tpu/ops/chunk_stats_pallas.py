@@ -47,6 +47,91 @@ _W = 2048
 _SEG = _W // 128  # 128-lane chunks per sublane row
 
 
+_RR = 1024  # chunk rows per block for the roll kernel: 1024x128x4 = 512 KB
+
+
+@partial(jax.jit, static_argnames=("rows", "interpret"))
+def chunk_stats_roll_pallas(
+    x2: jnp.ndarray, threshold, rows: int = _RR, interpret: bool = False
+):
+    """chunk_stats_xla semantics via LANE-ROLL reductions (round 4).
+
+    Every prior Pallas stats variant reduced the 128-lane chunks through
+    MXU matvecs/segment dots and lost to XLA's fused row reductions (the
+    0.218/0.316 vs 0.180 ms record, measure_r4 g10). This kernel lays the
+    chunks out as (rows, 128) blocks — the 128-lane chunk IS the vreg
+    lane extent — and all-reduces each row with the 7-step circular roll
+    doubling (``p += roll(p, k)`` for k = 1..64): ~14 elementwise ops +
+    ~7 ops of window encoding per element, no dots, no grid-step matvec
+    latency. Count and window sum ride ONE reduction (``vclip +
+    (m << 16)``: row sums ≤ 128·65792 < 2^24). Per 128-row sub-block the
+    per-chunk scalars sit on the DIAGONAL of the all-reduced (128, 128)
+    tile (every lane holds its row's total), extracted by an identity
+    mask + 7 halving sublane adds — ~3 array-ops per 16384 elements.
+
+    Returns (stat, base) — drop-in for chunk_stats_xla (the ``base``
+    exclusive prefix rides cumsum_pallas over nch elements on the way
+    out). Same window-encoding caveats (thresholds near INT32_MIN are the
+    caller's routing concern)."""
+    assert rows % 128 == 0
+    nch = x2.shape[0]
+    thr = jnp.asarray(threshold, jnp.int32)
+    pad = (-nch) % rows
+    xp = jnp.pad(
+        x2.astype(jnp.int32), ((0, pad), (0, 0)), constant_values=thr
+    )
+    nblocks = xp.shape[0] // rows
+    sub = rows // 128
+
+    def kernel(thr_ref, x_ref, out_ref):
+        t = thr_ref[0]
+        x = x_ref[...]
+        d = t - jnp.maximum(x, t - 512)
+        vclip = jnp.clip(d, 0, 256)
+        p = jnp.where(x < t, vclip + 65536, vclip)
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            p = p + pltpu.roll(p, k, 1)
+        # every lane now holds its chunk's cnt·2^16 + vsum (exact < 2^24)
+        cnt = p >> 16
+        vs = jnp.minimum(p & 65535, 511)
+        stat = (cnt << 9) + vs
+        rsub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        csub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        eye = (rsub == csub).astype(jnp.int32)
+        for g in range(sub):
+            v = stat[g * 128 : (g + 1) * 128, :] * eye
+            w = 128
+            while w > 1:  # halving sublane adds -> (1, 128) diagonal
+                v = v[: w // 2, :] + v[w // 2 : w, :]
+                w //= 2
+            out_ref[g, :] = v.reshape(128)
+
+    thr_arr = jnp.full((1,), thr, jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * sub, 128), jnp.int32),
+        interpret=interpret,
+    )(thr_arr, xp)
+    stat = out.reshape(-1)[:nch]
+    cnt = stat >> 9
+    if jax.default_backend() == "cpu" and not interpret:
+        base = jnp.cumsum(cnt) - cnt
+    else:
+        from .cumsum_pallas import cumsum_pallas
+
+        base = cumsum_pallas(cnt, two_plane=False,
+                             interpret=interpret) - cnt
+    return stat, base
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def chunk_stats_fused(x2: jnp.ndarray, threshold, interpret: bool = False):
     """chunk_stats_xla semantics in ONE kernel, ``base`` included.
@@ -132,6 +217,12 @@ def chunk_stats_fused(x2: jnp.ndarray, threshold, interpret: bool = False):
         ro = jax.lax.dot_general(
             lt_ref[...], totals, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # totals can reach R·SEG·128 = 2^19 — past bf16's 256
+            # exact-int operand limit, so Mosaic's default-precision f32
+            # dot would silently round it on device (the cumsum_pallas
+            # truncation class, docs/performance.md). HIGHEST on an
+            # (R, R) @ (R, 1) matvec is noise.
+            precision=jax.lax.Precision.HIGHEST,
         )  # (R, 1) sum of earlier rows
         base_ref[...] = (
             incl.astype(jnp.int32) + ro.astype(jnp.int32)

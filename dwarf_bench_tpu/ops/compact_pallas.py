@@ -172,7 +172,7 @@ def _compact_mask_call(mask2, cols2, n, npad, ncols, tile, interpret):
         kernel,
         grid=(nblocks,),
         in_specs=[blockspec] * (1 + ncols),
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)] * ncols)
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * ncols)
         + (pl.BlockSpec(memory_space=pltpu.SMEM),),
         out_shape=tuple(
             jax.ShapeDtypeStruct((1, npad + _ROWS * tile + 256), jnp.int32)

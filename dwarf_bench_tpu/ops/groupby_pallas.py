@@ -155,6 +155,135 @@ def groupby_small_pallas_f32(
 
 
 @partial(jax.jit, static_argnames=("num_groups", "rows", "w", "interpret"))
+def groupby_small_swar_pallas(
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_groups: int,
+    rows: int = 32,
+    w: int = 4096,
+    interpret: bool = False,
+):
+    """``groupby_small_pallas`` semantics on SWAR bin-packed one-hots
+    (round 4 — the round-3 histogram winner applied to the balanced-digit
+    group-by, docs/performance.md leverage item 3).
+
+    Both digit one-hots ride the 3-op 7-bit zero detector
+    (``z = ((rep ^ ~pats) - 0x7F7F7F7F) & 0x80808080``, see
+    hist_pallas.histogram_16k_swar_pallas): digits are ≤ 127 by
+    construction (ga·gb ≤ 2^14, out-of-range keys route to hi byte 127 —
+    unused while ga ≤ 120), so the no-borrow precondition always holds.
+
+      * hi side: pure one-hot — bitcast of ``z`` gives (ga, W) int8 with
+        -128 at matches (ga/4 pattern rows · 3 ops).
+      * lo side: WEIGHTED one-hots with no per-bin-row multiply:
+        ``q = (z >> 7) & 0x01010101`` has a single 0x01 at the matching
+        byte, and ``q · plane`` (plane ≤ 127 fits one byte) places the
+        7-bit value plane exactly there — the bitcast rows ARE
+        ``onehot_lo · v_plane`` (gb/4 rows: 3 + 2 + 1 ops per plane
+        multiply). Bad rows may match a lo bin; their hi row never does,
+        so the dot product is 0.
+
+    The plane dots are int8 (-128 · plane ≥ -16256, exact int32
+    accumulation); each fold is ``acc -= dot >> 7`` (the dot is a
+    negated multiple of 128: per-block cell sums ≥ -128·127·rows·w
+    > -2^31). Output and wrap semantics identical to
+    ``groupby_small_pallas`` (reference uint32 aggregation,
+    groupby/groupby.cpp:8-19). PRECONDITION: 0 <= v < 2^14."""
+    ga, gb = _digit_split(num_groups)
+    assert ga % 4 == 0 and gb % 4 == 0 and ga <= 120, (ga, gb)
+    shift = int(np.log2(gb))
+    sentinel = np.uint32(ga << shift)
+    # per-block dot cells must stay int32-exact: 128·127·rows·w < 2^31
+    assert 128 * 127 * rows * w < (1 << 31), (rows, w)
+    n = k.shape[0]
+    block = rows * w
+    pad = (-n) % block
+    kp = jnp.pad(k.astype(jnp.uint32), (0, pad), constant_values=sentinel)
+    vp = jnp.pad(v.astype(jnp.int32), (0, pad))
+    k2 = kp.astype(jnp.int32).reshape(-1, w)
+    v2 = vp.reshape(-1, w)
+    nblocks = (n + pad) // block
+    L7 = np.uint32(0x7F7F7F7F)
+    L8 = np.uint32(0x80808080)
+    M1 = np.uint32(0x01010101)
+
+    def kernel(k_ref, v_ref, out_ref, acc_lo, acc_hi):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_lo[...] = jnp.zeros((ga, gb), jnp.int32)
+            acc_hi[...] = jnp.zeros((ga, gb), jnp.int32)
+
+        pinv_a = ~(
+            jax.lax.broadcasted_iota(jnp.uint32, (ga // 4, w), 0)
+            * np.uint32(4 * 0x01010101)
+            + np.uint32(0x03020100)
+        )
+        pinv_b = ~(
+            jax.lax.broadcasted_iota(jnp.uint32, (gb // 4, w), 0)
+            * np.uint32(4 * 0x01010101)
+            + np.uint32(0x03020100)
+        )
+        dims = (((1,), (1,)), ((), ()))
+        for r in range(rows):
+            row = k_ref[r, :].reshape(1, w)
+            val = v_ref[r, :].reshape(1, w)
+            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+            hi = jnp.where(bad, np.int32(127), row >> shift)
+            lo = row & (gb - 1)  # bad rows killed by the hi side
+            za = (
+                jnp.broadcast_to(hi.astype(jnp.uint32) * M1, (ga // 4, w))
+                ^ pinv_a
+            ) - L7 & L8
+            zb = (
+                jnp.broadcast_to(lo.astype(jnp.uint32) * M1, (gb // 4, w))
+                ^ pinv_b
+            ) - L7 & L8
+            q = (zb >> 7) & M1  # 0x01 at the matching byte
+            wlo = q * jnp.broadcast_to(
+                (val & 0x7F).astype(jnp.uint32), (gb // 4, w)
+            )
+            whi = q * jnp.broadcast_to(
+                (val >> 7).astype(jnp.uint32), (gb // 4, w)
+            )
+            oh_a = pltpu.bitcast(za, jnp.int8)  # (ga, w): -128 at match
+            blo = pltpu.bitcast(wlo, jnp.int8)  # (gb, w): v&127 at match
+            bhi = pltpu.bitcast(whi, jnp.int8)  # (gb, w): v>>7 at match
+            acc_lo[...] -= jax.lax.dot_general(
+                oh_a, blo, dimension_numbers=dims,
+                preferred_element_type=jnp.int32,
+            ) >> 7
+            acc_hi[...] -= jax.lax.dot_general(
+                oh_a, bhi, dimension_numbers=dims,
+                preferred_element_type=jnp.int32,
+            ) >> 7
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            out_ref[...] = acc_lo[...] + (acc_hi[...] << 7)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ga, gb), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((ga, gb), jnp.int32),
+            pltpu.VMEM((ga, gb), jnp.int32),
+        ],
+        interpret=interpret,
+    )(k2, v2)
+    return out.reshape(-1)[:num_groups].astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "rows", "w", "interpret"))
 def groupby_small_pallas(
     k: jnp.ndarray,
     v: jnp.ndarray,

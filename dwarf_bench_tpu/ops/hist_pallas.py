@@ -113,11 +113,13 @@ def histogram_16k_pallas(
     return out.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("hi_bins", "rows", "interpret"))
+@partial(jax.jit,
+         static_argnames=("hi_bins", "rows", "fast_zdetect", "interpret"))
 def histogram_16k_swar_pallas(
     k: jnp.ndarray,
     hi_bins: int = 128,
     rows: int = 32,  # device A/B at 2^22/hi80: 0.333 ms vs 0.341 (16)
+    fast_zdetect: bool = True,
     interpret: bool = False,  # and 0.358 (8) — fewer grid steps win
 ):
     """histogram_16k semantics with SWAR one-hot construction (round 3).
@@ -127,19 +129,33 @@ def histogram_16k_swar_pallas(
     This kernel sidesteps the compare ISA entirely: each uint32 lane holds
     one element's indicator bytes for FOUR CONSECUTIVE BINS — patterns are
     ``4q·0x01010101 + 0x03020100`` against the digit replicated into all
-    4 bytes (``digit·0x01010101``) — and an exact per-byte zero detector
-    (``~(((t & 0x7f..) + 0x7f..) | t | 0x7f..)``, no cross-byte carries)
-    writes 0x80 at matches. ``pltpu.bitcast`` then expands (nb/4, W) i32
-    to (nb, W) int8 along sublanes — on the packed int8 tiling that is a
+    4 bytes (``digit·0x01010101``) — and a per-byte zero detector writes
+    0x80 at matches. ``pltpu.bitcast`` then expands (nb/4, W) i32 to
+    (nb, W) int8 along sublanes — on the packed int8 tiling that is a
     pure reinterpretation, and the result IS the one-hot (rows = bins in
     order, no cross-element interleave), so the count matmul is shape-
     identical to ``histogram_16k_pallas``'s. Matches contribute
     (-128)·(-128) = 16384, so per-row dots fold in as ``dot >> 14``
-    (per-block cell sums ≤ 16384·rows·W < 2^31). Net: ~6 int32 ops per
-    4 elements per bin instead of a compare+cast per element per bin.
+    (per-block cell sums ≤ 16384·rows·W < 2^31).
 
-    Sentinel: out-of-range keys (uint32 ≥ hi_bins·128, incl. padding)
-    take digit byte 255, which never equals a bin pattern ≤ 127."""
+    ``fast_zdetect`` (round 4) drops the generic 6-op byte detector
+    (``~(((t & 0x7f..) + 0x7f..) | t | 0x7f..)``) to THREE ops: digits and
+    patterns are 7-bit, so every byte of ``t = d ^ p`` is ≤ 0x7F, every
+    byte of ``~t = d ^ ~p`` is ≥ 0x80, and ``(~t) - 0x7F`` has no
+    cross-byte borrows with bit 7 set exactly at ``t = 0`` — i.e.
+    ``z = ((rep ^ ~pats) - 0x7F7F7F7F) & 0x80808080`` with the pattern
+    inversion precomputed (xor+sub+and per 4 bins, the "2-for-1" leverage
+    item of docs/performance.md cashed in). The no-borrow precondition
+    needs every compared byte ≤ 0x7F, so out-of-range keys route to
+    digit 127 on the HI side (fine while hi_bins ≤ 120: patterns stop at
+    hi_bins-1) and the LO side is left unmasked — a bad row's lo byte may
+    match, but its hi row never does, so the count product is 0. At
+    hi_bins = 128 byte 127 is a real bin, so a lane-wide kill mask
+    replaces the sentinel (4th op on the hi side only).
+
+    Sentinel (generic path): out-of-range keys (uint32 ≥ hi_bins·128,
+    incl. padding) take digit byte 255, which never equals a bin pattern
+    ≤ 127."""
     assert hi_bins % 8 == 0 and hi_bins <= 128
     n = k.shape[0]
     block = rows * _W
@@ -149,7 +165,9 @@ def histogram_16k_swar_pallas(
     k2 = kp.reshape(-1, _W)
     nblocks = (n + pad) // block
     L7 = np.uint32(0x7F7F7F7F)
+    L8 = np.uint32(0x80808080)
     MUL = np.uint32(0x01010101)
+    hi_needs_mask = hi_bins > 120  # byte 127 unusable as a hi sentinel
 
     def kernel(k_ref, out_ref, acc_ref):
         i = pl.program_id(0)
@@ -168,19 +186,40 @@ def histogram_16k_swar_pallas(
             * np.uint32(4 * 0x01010101)
             + np.uint32(0x03020100)
         )
+        if fast_zdetect:
+            pinv_hi, pinv_lo = ~pats_hi, ~pats_lo
 
         def zdetect(p, pats, nb):
             t = jnp.broadcast_to(p, (nb, _W)) ^ pats
             return ~(((t & L7) + L7) | t | L7)
 
+        def zdetect3(p, pinv, nb):
+            # 3-op form (see docstring): bytes of p and ~pinv must be 7-bit
+            return (jnp.broadcast_to(p, (nb, _W)) ^ pinv) - L7 & L8
+
         for r in range(rows):
             row = k_ref[r, :].reshape(1, _W)
             bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
-            hi = jnp.where(bad, np.int32(255), row >> 7)
-            lo = jnp.where(bad, np.int32(255), row & 127)
-            zh = zdetect(hi.astype(jnp.uint32) * MUL, pats_hi,
-                         hi_bins // 4)
-            zl = zdetect(lo.astype(jnp.uint32) * MUL, pats_lo, 32)
+            if fast_zdetect:
+                if hi_needs_mask:
+                    hi = jnp.where(bad, np.int32(0), row >> 7)
+                    keep = jnp.where(bad, np.uint32(0),
+                                     np.uint32(0xFFFFFFFF))
+                    zh = zdetect3(hi.astype(jnp.uint32) * MUL, pinv_hi,
+                                  hi_bins // 4) & jnp.broadcast_to(
+                                      keep, (hi_bins // 4, _W))
+                else:
+                    hi = jnp.where(bad, np.int32(127), row >> 7)
+                    zh = zdetect3(hi.astype(jnp.uint32) * MUL, pinv_hi,
+                                  hi_bins // 4)
+                lo = row & 127  # bad rows killed by the hi side
+                zl = zdetect3(lo.astype(jnp.uint32) * MUL, pinv_lo, 32)
+            else:
+                hi = jnp.where(bad, np.int32(255), row >> 7)
+                lo = jnp.where(bad, np.int32(255), row & 127)
+                zh = zdetect(hi.astype(jnp.uint32) * MUL, pats_hi,
+                             hi_bins // 4)
+                zl = zdetect(lo.astype(jnp.uint32) * MUL, pats_lo, 32)
             oh_hi = pltpu.bitcast(zh, jnp.int8)  # (hi_bins, W)
             oh_lo = pltpu.bitcast(zl, jnp.int8)  # (128, W)
             acc_ref[...] += jax.lax.dot_general(

@@ -84,12 +84,12 @@ def gather_16k(
     return out.astype(table.dtype)
 
 
-@partial(jax.jit, static_argnames=("fused_f32", "hi_rows"))
+@partial(jax.jit, static_argnames=("engine", "hi_rows"))
 def gather_16k_rel(
     packed3: jnp.ndarray,
     base128: jnp.ndarray,
     idx: jnp.ndarray,
-    fused_f32: bool = True,
+    engine: str = "f32",
     hi_rows: int = 128,
 ):
     """Bucket-relative lookup: out[i] = (base128[idx[i] >> 7],
@@ -103,10 +103,16 @@ def gather_16k_rel(
     hi-digit one-hot (128 MACs/elem — noise next to the 16384/plane) rather
     than a VPU one-hot select (which measured as costly as a whole plane).
 
-    ``fused_f32=True`` folds the three 8-bit planes into ONE f32 matmul at
-    Precision.HIGHEST: identical MXU work (f32 = 3 bf16 passes) but a third
-    of the VPU select passes. Exact because every product is onehot * v with
-    v < 2^24 and the bf16x3 operand split carries 24 mantissa bits.
+    ``engine`` selects the plane formulation (explicit string — a silent
+    fall-through between forms caused a round-3 advisor finding):
+      * ``"f32"`` (default, the measured winner): the three 8-bit planes
+        fold into ONE f32 matmul at Precision.HIGHEST — identical MXU work
+        (f32 = 3 bf16 passes) but a third of the VPU select passes. Exact
+        because every product is onehot * v with v < 2^24 and the bf16x3
+        operand split carries 24 mantissa bits.
+      * ``"bf16_planes"``: three separate 8-bit bf16 plane matmuls.
+      * ``"int8"``: four 7-bit planes on the int8 MXU path (measured
+        SLOWER end to end — the stage-2 selects dominate, measure_r4 g6).
 
     ``hi_rows`` < 128 shrinks the table to its populated hi-digit rows
     (range-aware, like the hi80 histogram): valid indices must then be
@@ -126,7 +132,8 @@ def gather_16k_rel(
     # times a bf16x3-split operand carries 24 mantissa bits), and 128
     # MACs/elem is noise next to the 16384/plane of the table matmul
     base_vec = base128.astype(jnp.float32)[:hi_rows, None]
-    if fused_f32 == "int8":
+    assert engine in ("f32", "bf16_planes", "int8"), engine
+    if engine == "int8":
         # four 7-bit int8 planes (values < 2^24 -> ceil(24/7) = 4): the
         # int8 MXU path trades plane count for rate; stage-2 recombines
         # the plane selections with shifts (measured A/B vs the f32 form
@@ -134,7 +141,7 @@ def gather_16k_rel(
         plane_mats = [
             ((t >> (7 * p)) & 0x7F).astype(jnp.int8) for p in range(4)
         ]
-    elif fused_f32:
+    elif engine == "f32":
         plane_mats = [t.astype(jnp.float32)]
     else:
         plane_mats = [
@@ -144,7 +151,7 @@ def gather_16k_rel(
     def tile_lookup(it_i):
         hi = it_i >> 7
         lo = it_i & 127
-        if fused_f32 == "int8":
+        if engine == "int8":
             oh_hi8 = (hi[:, None] == cols[None, :]).astype(jnp.int8)
             oh_lo32 = (lo[:, None] == cols_lo[None, :]).astype(jnp.int32)
             rel = jnp.zeros((_TILE,), jnp.uint32)
@@ -164,7 +171,7 @@ def gather_16k_rel(
             return rel, b.astype(jnp.int32)
         oh_hi = (hi[:, None] == cols[None, :]).astype(jnp.bfloat16)
         oh_lo = (lo[:, None] == cols_lo[None, :]).astype(jnp.float32)
-        if fused_f32 is True:
+        if engine == "f32":
             a = jnp.dot(
                 oh_hi.astype(jnp.float32),
                 plane_mats[0],

@@ -39,6 +39,125 @@ _W = 2048
 _RANGE = 1 << 14
 
 
+@partial(jax.jit, static_argnames=("hi_rows", "interpret"))
+def probe_dense_cat_pallas(
+    packed3: jnp.ndarray,
+    base128: jnp.ndarray,
+    ki: jnp.ndarray,
+    hi_rows: int = 128,
+    interpret: bool = False,
+):
+    """Round-4 fused probe: scaled-plane CONCATENATION makes ONE
+    default-precision bf16 dot produce the fully-combined 24-bit value.
+
+    The HIGHEST-precision single-f32-dot form (probe_dense_rel_pallas
+    below) pays ~6 bf16 MXU passes; separate 8-bit plane dots pay 3 but
+    triple the stage-2 selects. This kernel gets 3 passes AND one select:
+    bf16 represents ``v · 2^k`` exactly for v ≤ 255, so the three 8-bit
+    planes PRE-SCALED by 2^(8p) stack along the contraction dim —
+    ``Tcat[(128 lo + 1), 3·hi_rows]`` — and the dot against the hi one-hot
+    REPLICATED 3× combines the planes inside the f32 accumulator (sums
+    < 2^24: exact) with zero VPU combine. Row 128 of the output carries
+    ``base128``'s scaled planes, so the per-bucket base ride the SAME dot
+    (no separate matvec). Stage 2 is one select: ``rel = ones @ (B[:128]
+    ⊙ oh_lo)`` at HIGHEST (one nonzero per column, < 2^24 — exact).
+
+    Semantics identical to probe_dense_rel_pallas / csr_join.probe_dense's
+    rel path: ``ki`` int32 min-shifted keys; out-of-range (negative,
+    >= hi_rows·128) → (0, 0); pos = 0 where cnt == 0.
+    ``hi_rows`` < 128 is the range-aware fast path (valid keys must be
+    < hi_rows·128 — the hi80 asymmetry of the histogram/probe family).
+
+    Reference parity: omnisci_hashtable.hpp:149-192 (JoinOneToMany probe).
+    """
+    h = hi_rows
+    n = ki.shape[0]
+    block = _ROWS * _W
+    pad = (-n) % block
+    kp = jnp.pad(ki.astype(jnp.int32), (0, pad),
+                 constant_values=np.int32(-1))
+    k2 = kp.reshape(-1, _W)
+    nblocks = (n + pad) // block
+    t = packed3.astype(jnp.uint32)[: h * 128].reshape(h, 128)
+    # TcatT: (129, 3h) bf16 — row l holds [plane0[:,l], 256·plane1[:,l],
+    # 65536·plane2[:,l]]; row 128 holds base128's scaled planes.
+    cols = []
+    bv = base128.astype(jnp.uint32)[:h].reshape(h, 1)
+    for p in range(3):
+        pl_mat = ((t >> (8 * p)) & 0xFF).astype(jnp.float32)
+        pb = ((bv >> (8 * p)) & 0xFF).astype(jnp.float32)
+        cols.append(
+            jnp.concatenate([pl_mat, pb], axis=1)
+            * np.float32(1 << (8 * p))
+        )
+    # interpret mode (CPU CI) lacks a bf16 DotThunk; f32 there is a
+    # superset of bf16's exactness (operands are v·2^8p, v <= 255)
+    mdt = jnp.float32 if interpret else jnp.bfloat16
+    tcat_t = jnp.concatenate(cols, axis=0).T.astype(mdt)
+    # (129, 3h): [:, p·h + j] = plane_p[j, l] · 2^(8p)
+
+    def kernel(t_ref, k_ref, pos_ref, cnt_ref, ones_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            ones_ref[...] = jnp.ones((1, 128), jnp.float32)
+
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, (3 * h, _W), 0)
+        iota_mod = iota3 - (iota3 // h) * h  # hi-digit iota tiled 3x
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
+        hp = jax.lax.Precision.HIGHEST
+        for r in range(_ROWS):
+            row = k_ref[r, :].reshape(1, _W)
+            bad = row.astype(jnp.uint32) >= jnp.uint32(h * 128)
+            hi = jnp.where(bad, np.int32(h), row >> 7)
+            lo = row & 127
+            oh3 = (jnp.broadcast_to(hi, (3 * h, _W)) == iota_mod).astype(
+                mdt
+            )
+            b = jax.lax.dot_general(
+                t_ref[...], oh3,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (129, W): rows 0..127 = packed3[k], row 128 = base128[hi]
+            oh_lo = (jnp.broadcast_to(lo, (128, _W)) == iota_l).astype(
+                jnp.float32
+            )
+            rel = jax.lax.dot_general(
+                ones_ref[...], b[:128, :] * oh_lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hp,
+            ).astype(jnp.int32)  # (1, W) packed3[k]
+            base = b[128:129, :].astype(jnp.int32)
+            cnt = rel & 1023
+            pos = jnp.where(cnt > 0, base + (rel >> 10), 0)
+            pos_ref[r, :] = pos.reshape(_W)
+            cnt_ref[r, :] = cnt.reshape(_W)
+
+    pos, cnt = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, _W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k2.shape, jnp.int32),
+            jax.ShapeDtypeStruct(k2.shape, jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+        interpret=interpret,
+    )(tcat_t, k2)
+    return pos.reshape(-1)[:n], cnt.reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def probe_dense_rel_pallas(
     packed3: jnp.ndarray,

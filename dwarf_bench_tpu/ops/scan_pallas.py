@@ -207,7 +207,7 @@ def filter_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(

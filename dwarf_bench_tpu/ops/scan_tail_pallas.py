@@ -206,7 +206,7 @@ def scan_tail_streams(
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   blockspec, blockspec],
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)] * 4)
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 4)
         + (pl.BlockSpec(memory_space=pltpu.SMEM),),
         out_shape=tuple(
             jax.ShapeDtypeStruct((1, outw), jnp.int32) for _ in range(4)

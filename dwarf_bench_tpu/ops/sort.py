@@ -163,8 +163,8 @@ def sort_counting(x: jnp.ndarray) -> jnp.ndarray:
 _NARROW_BINS = 80 * 128  # the benchmark's [1, 10000] spans land here
 
 
-@jax.jit
-def sort_auto(x: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("force_dispatch",))
+def sort_auto(x: jnp.ndarray, force_dispatch: bool = False) -> jnp.ndarray:
     """Range-adaptive sort: distribution sort when the value range fits
     2^14 bins (with a narrower 80*128-bin histogram when the span allows —
     the one-hot construction is the VPU floor, so fewer hi bins are
@@ -176,10 +176,13 @@ def sort_auto(x: jnp.ndarray) -> jnp.ndarray:
     dispatch, like every engine here): the one-hot-matmul counting sort
     is an MXU design — emulated matmuls made the CPU sweep's 2^25 size
     blow a 1-hour budget — and the reference's own CPU path is a
-    comparison sort anyway (oneDPL std::sort, sort/radix.cpp:34)."""
+    comparison sort anyway (oneDPL std::sort, sort/radix.cpp:34).
+    ``force_dispatch=True`` overrides the short-circuit so CI fuzz runs
+    can exercise the shipped range-dispatch logic (uint32 span wrap, the
+    80·128 / 2^14 cliffs, counting-sort composition) off-device."""
     if x.shape[0] == 0:
         return x
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not force_dispatch:
         return jax.lax.sort(x)
     minv = jnp.min(x)
     maxv = jnp.max(x)

@@ -34,6 +34,28 @@ BYTES_PER_ROW: Dict[str, float] = {
     "reduce": 4.0,
 }
 
+# Documented ACHIEVABLE bound per operator at the headline bench config on
+# TPU v5e (rows/s) — the dual-bound report next to the BW roofline
+# (round-3 verdict item 7). The BW targets assume scatter/atomics
+# hardware; on TPU several operators are compute-bound by construction
+# and the analysis in docs/performance.md derives these instead:
+#   scan        2^24 rows: chunk-stats read floor + minimal tail ≈ 0.19 ms
+#   radix       2^22 rows: SWAR histogram VPU floor + expansion ≈ 0.44 ms
+#   groupby     2^22 rows, G=64: balanced-digit VPU floor ≈ 0.12 ms
+#   groupby_big 2^20 rows, G=2^16: n·G MXU MAC wall ≈ 1.45 Grows/s
+#   join        2^20+2^20: 1.03 ms pair-sort wall + probe MXU bound
+#   reduce      2^24 rows: pure HBM read (819 GB/s / 4 B)
+# These are v5e numbers (mixed VPU/MXU/BW walls — they do NOT scale with
+# HBM bandwidth alone); revise alongside docs/performance.md.
+ACHIEVABLE_ROWS_PER_S: Dict[str, float] = {
+    "scan": 88.0e9,
+    "radix": 9.5e9,
+    "groupby": 35.0e9,
+    "groupby_big": 1.45e9,
+    "join": 0.9e9,
+    "reduce": 204.8e9,
+}
+
 HBM_BW: Dict[str, float] = {  # bytes/s per chip
     "TPU v5 lite": 8.19e11,  # v5e: 819 GB/s
     "TPU v5": 1.2e12,

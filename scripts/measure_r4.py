@@ -389,7 +389,7 @@ def g6():
     for hr in (128, 80):
         t = time_amortized(
             jax.jit(partial(gather_16k_rel, hi_rows=hr,
-                            fused_f32="int8")),
+                            engine="int8")),
             tbl.packed3, tbl.base128, ki,
         )
         print(f"g6 gather_16k_rel int8-4p hi{hr}: {t*1e3:.3f} ms",

@@ -34,6 +34,7 @@ def main() -> None:
 
     from dwarf_bench_tpu.parallel import (
         dist_csr_join_2d,
+        dist_csr_join_skew,
         dist_groupby_dense,
         init_multihost,
         make_mesh,
@@ -93,6 +94,51 @@ def main() -> None:
         assert int(np.asarray(s.data).sum()) == 0, "shuffle overflow"
     got = int(np.asarray(total).ravel()[0])
     assert got == exp_total, f"multihost join total {got} != {exp_total}"
+
+    # ---- 1-D global mesh: SKEW join across the process boundary ---------
+    # BASELINE config #5: distributed shuffle + skewed keys across N >= 2
+    # hosts. The heavy-key candidate-election protocol (local top-k sort →
+    # all_gather → psum of exact global counts) and the heavy-row
+    # broadcast all cross real process boundaries here; per-row uint64
+    # exactness mirrors TestDistJoinAtScale::test_skew_join_at_scale.
+    As = rng.integers(1, 5000, n, endpoint=True).astype(np.uint32)
+    Bs = rng.integers(1, 5000, n, endpoint=True).astype(np.uint32)
+    hot = rng.random(n) < 0.20  # one key holds 20% of both sides
+    As[hot] = np.uint32(7)
+    hot_b = rng.random(n) < 0.20
+    Bs[hot_b] = np.uint32(7)
+    per_chip = n // n_dev
+    cap = (per_chip // n_dev) * 2  # uniform-sized slots: the plain hash
+    # shuffle would overflow the heavy key's chip at >2x expectation
+    skew = dist_csr_join_skew(
+        mesh1, rows_per_chip=per_chip, distinct_cap=n_dev * cap,
+        ht_size=2 * n_dev * cap + 2, shuffle_capacity=cap,
+    )
+    light, heavy, total_s, ov = skew(shard(mesh1, As), shard(mesh1, Bs))
+    for s in ov.addressable_shards:
+        assert int(np.asarray(s.data).sum()) == 0, "skew shuffle overflow"
+    ca = np.zeros(5001, np.uint64)
+    np.add.at(ca, As.astype(np.int64), 1)
+    cbs = np.zeros(5001, np.uint64)
+    np.add.at(cbs, Bs.astype(np.int64), 1)
+    exp_total_s = int(np.sum(ca * cbs))
+    assert exp_total_s < 2**31  # int32 device total is exact at this size
+    got_s = int(np.asarray(total_s).ravel()[0])
+    assert got_s == exp_total_s, f"skew total {got_s} != {exp_total_s}"
+    # heavy counts are per LOCAL B row in original order: each process
+    # checks exact per-row values on ITS shards (chip c owns global B
+    # rows [c*per_chip, (c+1)*per_chip))
+    exp_heavy = np.where(Bs == 7, ca[7], 0).astype(np.uint64)
+    checked = 0
+    for s in heavy.addressable_shards:
+        c = s.index[0].start  # global chip row of this (1, per_chip) shard
+        rows = np.asarray(s.data).reshape(-1).astype(np.uint64)
+        lo = c * per_chip
+        assert np.array_equal(rows, exp_heavy[lo : lo + per_chip]), (
+            "skew heavy rows", c
+        )
+        checked += 1
+    assert checked == local, checked
 
     print("MULTIHOST_OK", flush=True)
 

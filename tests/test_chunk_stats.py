@@ -167,3 +167,23 @@ def test_scan_tail_streams(rng, nch, density):
     assert np.all(np.asarray(spos[ns:]) == np.int32(0x7FFFFFFF))
     assert np.array_equal(np.asarray(mids[:nm]), np.asarray(rmids[:nm]))
     assert np.array_equal(np.asarray(mbase[:nm]), np.asarray(rmbase[:nm]))
+
+
+@pytest.mark.parametrize("nch,thr", [(256, 5), (1000, 5000), (300, -100),
+                                     (128, 5), (4096, 9999)])
+def test_roll_stats_match_oracle(rng, nch, thr):
+    """Round-4 lane-roll stats kernel is a drop-in for chunk_stats_xla,
+    incl. non-multiple-of-rows nch and all-match/all-miss chunks."""
+    from dwarf_bench_tpu.ops.chunk_stats_pallas import (
+        chunk_stats_roll_pallas,
+    )
+
+    x2 = rng.integers(-10000, 10000, (nch, 128)).astype(np.int32)
+    x2[0, :] = thr - 1  # an all-match chunk (cnt = 128)
+    x2[-1, :] = thr + 1 if thr < 2**31 - 2 else thr  # an all-miss chunk
+    stat, base = chunk_stats_roll_pallas(
+        jnp.asarray(x2), thr, rows=128, interpret=True
+    )
+    est, eb = oracle(x2, thr)
+    assert np.array_equal(np.asarray(stat), est)
+    assert np.array_equal(np.asarray(base), eb)

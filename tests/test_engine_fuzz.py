@@ -23,6 +23,28 @@ def uint_bits(trial):
     return [1, 3, 8, 13, 14, 15, 16, 20, 24, 14, 13, 15][trial]
 
 
+@pytest.mark.parametrize("trial", range(12))
+def test_sort_auto_dispatch_logic_on_cpu(rng, trial):
+    """The SHIPPED range-dispatch logic (uint32 span wrap, the 80·128 and
+    2^14 cliffs, counting-sort composition) — not just its components —
+    runs off-device via ``force_dispatch`` (round-3 advisor: the CPU
+    short-circuit left it accelerator-only)."""
+    n = int(rng.integers(1, 30_000))
+    lo = int(rng.integers(-(2**28), 2**28))
+    span = int(rng.integers(1, 2**uint_bits(trial)))
+    x = rng.integers(lo, lo + span, n, endpoint=True).astype(np.int32)
+    got = np.asarray(sort.sort_auto(jnp.asarray(x), force_dispatch=True))
+    assert np.array_equal(got, sort.sort_oracle(x)), (n, lo, span)
+
+
+def test_sort_auto_dispatch_span_wrap_cpu(rng):
+    """int32 extremes: max - min wraps int32 but is exact in uint32 —
+    the dispatch must take lax.sort, not a 16K-bin counting sort."""
+    x = np.array([-(2**31), 2**31 - 1, 0, 5, -7], np.int32)
+    got = np.asarray(sort.sort_auto(jnp.asarray(x), force_dispatch=True))
+    assert np.array_equal(got, np.sort(x))
+
+
 @pytest.mark.parametrize("trial", range(10))
 def test_filter_sparse_random_selectivity(rng, trial):
     n = int(rng.integers(1, 80_000))

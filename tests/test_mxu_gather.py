@@ -28,8 +28,8 @@ def test_gather_int8_planes(rng, k, n):
 
 
 @pytest.mark.parametrize("n", [100, 10_000])
-@pytest.mark.parametrize("fused", [True, False])
-def test_gather_rel_matches_indexing(rng, n, fused):
+@pytest.mark.parametrize("engine", ["f32", "bf16_planes"])
+def test_gather_rel_matches_indexing(rng, n, engine):
     # full 24-bit range on both tables (the layout's exactness bound)
     packed3 = rng.integers(0, 1 << 24, 16384).astype(np.uint32)
     packed3[:4] = [0, 1, (1 << 24) - 1, (1 << 24) - 2]
@@ -41,7 +41,7 @@ def test_gather_rel_matches_indexing(rng, n, fused):
     )
     rel, b = gather_16k_rel(
         jnp.asarray(packed3), jnp.asarray(base), jnp.asarray(idx),
-        fused_f32=fused,
+        engine=engine,
     )
     rel, b = np.asarray(rel), np.asarray(b)
     ok = (idx >= 0) & (idx < 16384)
@@ -86,7 +86,34 @@ def test_probe_dense_rel_pallas_matches_xla(rng):
     assert np.array_equal(np.asarray(cnt) > 0, np.asarray(ref.found))
 
 
-@pytest.mark.parametrize("hi_rows,form", [(80, True), (128, "int8"),
+@pytest.mark.parametrize("hi_rows", [128, 80])
+def test_probe_dense_cat_pallas_matches_xla(rng, hi_rows):
+    """Round-4 scaled-plane-concat fused probe == the XLA rel path,
+    incl. misses, out-of-range keys, and the range-aware hi_rows form."""
+    import jax.numpy as jnp
+
+    from dwarf_bench_tpu.ops import csr_join
+    from dwarf_bench_tpu.ops.probe_pallas import probe_dense_cat_pallas
+
+    n = 1 << 14
+    span = hi_rows * 128 - 300
+    A = rng.integers(1, span, n, endpoint=True).astype(np.uint32)
+    B = rng.integers(1, span + 900, n, endpoint=True).astype(np.uint32)
+    t = csr_join.build_dense(jnp.asarray(A))
+    assert bool(t.packed3_ok)
+    ki = (B.astype(np.int64) - int(t.minv)).astype(np.int32)
+    ki[(ki < 0) | (ki >= hi_rows * 128)] = -1
+    pos, cnt = probe_dense_cat_pallas(
+        t.packed3, t.base128, jnp.asarray(ki), hi_rows=hi_rows,
+        interpret=True,
+    )
+    ref = csr_join.probe_dense(t, jnp.asarray(B), hi_rows=hi_rows)
+    assert np.array_equal(np.asarray(cnt), np.asarray(ref.counts))
+    assert np.array_equal(np.asarray(pos), np.asarray(ref.pos))
+    assert np.array_equal(np.asarray(cnt) > 0, np.asarray(ref.found))
+
+
+@pytest.mark.parametrize("hi_rows,form", [(80, "f32"), (128, "int8"),
                                           (80, "int8")])
 def test_gather_rel_variants(rng, hi_rows, form):
     """Range-aware (hi_rows) and int8 4-plane rel-gathers match the
@@ -102,7 +129,7 @@ def test_gather_rel_variants(rng, hi_rows, form):
     )
     r0, b0 = gather_16k_rel(packed3, base, idx)
     r1, b1 = gather_16k_rel(
-        packed3, base, idx, fused_f32=form, hi_rows=hi_rows
+        packed3, base, idx, engine=form, hi_rows=hi_rows
     )
     assert np.array_equal(np.asarray(r0), np.asarray(r1))
     assert np.array_equal(np.asarray(b0), np.asarray(b1))
