@@ -4,8 +4,10 @@
 Runs the four headline dwarfs (BASELINE.json: Scan, Sort/Radix, GroupBy,
 Join/JoinOmnisci) on the default device (the TPU chip when present) at the
 reference's benchmark-scale sizes, measures device-compute rows/s
-(queue-k amortized timing with a real execution fence — the
-OpenCL-event-profiling analog), and reports the geometric mean.
+(device-looped kernel timing — the OpenCL-event-profiling analog; round 4
+measured the per-jit-call host dispatch at 0.13-0.30 ms, so queue-k
+per-call readings are dispatch-bound for sub-ms kernels), and reports the
+geometric mean.
 
 Remote compiles on the tunneled TPU cost minutes per component, so the run
 is budgeted: components execute in ascending compile-cost order and the
@@ -47,6 +49,20 @@ def _time_op(fn, *args, k=8, repeats=3):
     return min(time_amortized(fn, *args, k=k) for _ in range(repeats))
 
 
+def _time_dev(fn, *args, perturb, fold):
+    """Device-looped kernel time (utils/timing.time_device_looped).
+
+    Round 4 measured the per-jit-call HOST dispatch at 0.13-0.30 ms —
+    comparable to the sub-ms headline kernels, so the round-1..3 queue-k
+    component readings were dispatch-contaminated (and host-state
+    dependent: the round-3 docs-vs-driver scan gap). The device loop is
+    the faithful analog of the reference's kernel_time (OpenCL event
+    profiling excludes enqueue the same way, scan/scan.cpp:142-154)."""
+    from dwarf_bench_tpu.utils.timing import time_device_looped
+
+    return time_device_looped(fn, *args, perturb=perturb, fold=fold)
+
+
 def main() -> None:
     import jax
 
@@ -76,6 +92,8 @@ def main() -> None:
 
     # ---- components, cheapest compile first --------------------------
 
+    import jax.numpy as jnp
+
     def run_radix():
         n = 1 << 22
         x = jax.device_put(
@@ -83,7 +101,11 @@ def main() -> None:
         )
         # range-adaptive: distribution sort (MXU histogram + run expansion)
         # for the benchmark's [1, 10000] columns, XLA sort fallback otherwise
-        return n / _time_op(jax.jit(sort.sort_auto), x)
+        return n / _time_dev(
+            sort.sort_auto, x,
+            perturb=lambda a, c: (a[0] + (c & 1),),  # keeps span < 2^14
+            fold=lambda out: (out[0] & 1).astype(jnp.int32),
+        )
 
     def run_groupby():
         n, G = 1 << 22, 64
@@ -93,11 +115,14 @@ def main() -> None:
             device,
         )
         # dispatch: balanced-digit Pallas kernel on accelerators
-        fn = jax.jit(
+        return n / _time_dev(
             lambda kk, vv: groupby.groupby_sum(kk, vv, G,
-                                               vals_below_2p14=True)
+                                               vals_below_2p14=True),
+            k, v,
+            perturb=lambda a, c: (a[0],
+                                  a[1] + (c & 1).astype(jnp.uint32)),
+            fold=lambda out: (out[0] & 1).astype(jnp.int32),
         )
-        return n / _time_op(fn, k, v)
 
     def run_groupby_big():
         # the BASELINE.json GroupBy config: 2^16 distinct keys
@@ -107,11 +132,14 @@ def main() -> None:
             rng.integers(1, 10000, n, endpoint=True).astype(np.uint32),
             device,
         )
-        fn = jax.jit(
+        return n / _time_dev(
             lambda kk, vv: groupby.groupby_sum(kk, vv, G,
-                                               vals_below_2p14=True)
+                                               vals_below_2p14=True),
+            k, v,
+            perturb=lambda a, c: (a[0],
+                                  a[1] + (c & 1).astype(jnp.uint32)),
+            fold=lambda out: (out[0] & 1).astype(jnp.int32),
         )
-        return n / _time_op(fn, k, v)
 
     def run_join():
         n = 1 << 20
@@ -128,7 +156,6 @@ def main() -> None:
         assert csr_join.dense_applicable(A, B)
         hi_rows = 128
 
-        @jax.jit
         def join_fn(a, b):
             t = csr_join.build_dense(a)
             r = csr_join.probe_dense(t, b, hi_rows=hi_rows)
@@ -137,14 +164,31 @@ def main() -> None:
             # without it XLA dead-code-eliminates the pair sort entirely
             return r.pos, r.counts, t.id_buffer
 
-        rate = n / _time_op(join_fn, da, db)
+        def fold3(out):
+            return (
+                out[0][0] ^ out[1][0] ^ out[2][0].astype(jnp.int32)
+            ) & 1
+
+        rate = n / _time_dev(
+            join_fn, da, db,
+            perturb=lambda a, c: (a[0] + (c & 1).astype(jnp.uint32),
+                                  a[1]),
+            fold=fold3,
+        )
         # build/probe split (the reference reports the phases separately,
         # join/join.cpp:111-113); measured at separate jit boundaries, so
         # the two phase times can sum past the fused pipeline's time
-        t_build = _time_op(jax.jit(csr_join.build_dense), da)
+        t_build = _time_dev(
+            csr_join.build_dense, da,
+            perturb=lambda a, c: (a[0] + (c & 1).astype(jnp.uint32),),
+            fold=lambda t: (t.id_buffer[0] & 1).astype(jnp.int32),
+        )
         tbl = csr_join.build_dense(da)
-        t_probe = _time_op(
-            jax.jit(partial(csr_join.probe_dense, hi_rows=hi_rows)), tbl, db
+        t_probe = _time_dev(
+            partial(csr_join.probe_dense, hi_rows=hi_rows), tbl, db,
+            perturb=lambda a, c: (a[0],
+                                  a[1] + (c & 1).astype(jnp.uint32)),
+            fold=lambda r: (r.pos[0] ^ r.counts[0]) & 1,
         )
         extras["join_build_ms"] = round(t_build * 1e3, 3)
         extras["join_probe_ms"] = round(t_probe * 1e3, 3)
@@ -158,7 +202,13 @@ def main() -> None:
         )
         # sparsity-adaptive engine: near read-bound at the benchmark's
         # 0.04% selectivity, Pallas butterfly fallback when caps trip
-        return n / _time_op(jax.jit(scan.filter_sparse), x)
+        return n / _time_dev(
+            scan.filter_sparse, x,
+            # last-bit xor defeats loop hoisting, keeps the value range
+            # and the benchmark selectivity
+            perturb=lambda a, c: (a[0] ^ (c & 1),),
+            fold=lambda out: (out[0][0] ^ out[1]) & 1,
+        )
 
     # ---- non-geomean extras (round-4 verdict item 6) -----------------
     # Reduce is the read-bound speed-of-light witness (reference:
@@ -309,6 +359,8 @@ def main() -> None:
                 "targets_rows_per_s": {k: round(v) for k, v in target.items()},
                 "frac_of_achievable": frac_ach,
                 "skipped": skipped,
+                "timing_method": "device-looped fori slope (kernel time; "
+                                 "per-call host dispatch excluded)",
                 "elapsed_s": round(time.time() - t_start, 1),
                 "device": str(device),
                 **extras,

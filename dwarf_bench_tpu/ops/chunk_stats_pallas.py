@@ -73,7 +73,9 @@ def chunk_stats_roll_pallas(
     exclusive prefix rides cumsum_pallas over nch elements on the way
     out). Same window-encoding caveats (thresholds near INT32_MIN are the
     caller's routing concern)."""
-    assert rows % 128 == 0
+    # output blocks are (rows/128, 128): Mosaic requires the sublane
+    # tile be a multiple of 8 (or the whole array) -> rows % 1024 == 0
+    assert rows % 1024 == 0
     nch = x2.shape[0]
     thr = jnp.asarray(threshold, jnp.int32)
     pad = (-nch) % rows

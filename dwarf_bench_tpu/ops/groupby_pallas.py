@@ -154,13 +154,15 @@ def groupby_small_pallas_f32(
     return out.reshape(-1)[:num_groups].astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "rows", "w", "interpret"))
+@partial(jax.jit, static_argnames=("num_groups", "rows", "w", "stack",
+                                   "interpret"))
 def groupby_small_swar_pallas(
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_groups: int,
     rows: int = 32,
     w: int = 4096,
+    stack: int = 1,
     interpret: bool = False,
 ):
     """``groupby_small_pallas`` semantics on SWAR bin-packed one-hots
@@ -185,16 +187,24 @@ def groupby_small_swar_pallas(
 
     The plane dots are int8 (-128 · plane ≥ -16256, exact int32
     accumulation); each fold is ``acc -= dot >> 7`` (the dot is a
-    negated multiple of 128: per-block cell sums ≥ -128·127·rows·w
+    negated multiple of 128: per-dot cell sums ≥ -128·127·stack·w
     > -2^31). Output and wrap semantics identical to
     ``groupby_small_pallas`` (reference uint32 aggregation,
-    groupby/groupby.cpp:8-19). PRECONDITION: 0 <= v < 2^14."""
+    groupby/groupby.cpp:8-19). PRECONDITION: 0 <= v < 2^14.
+
+    ``stack`` concatenates that many rows' digit/value strips along
+    lanes before the zdetect, so one (ga, stack·w) dot serves ``stack``
+    rows — the per-row dots are MXU issue-bound (M = N ≤ 8 sublanes of
+    the 128×128 array; K = w streams in ~w/128 beats), which is why the
+    round-3 VPU-floor analysis under-predicted this kernel (h1/g1,
+    scripts/measure_r5.py)."""
     ga, gb = _digit_split(num_groups)
     assert ga % 4 == 0 and gb % 4 == 0 and ga <= 120, (ga, gb)
+    assert rows % stack == 0
     shift = int(np.log2(gb))
     sentinel = np.uint32(ga << shift)
-    # per-block dot cells must stay int32-exact: 128·127·rows·w < 2^31
-    assert 128 * 127 * rows * w < (1 << 31), (rows, w)
+    # per-DOT cell sums must stay int32-exact: 128·127·stack·w < 2^31
+    assert 128 * 127 * stack * w < (1 << 31), (stack, w)
     n = k.shape[0]
     block = rows * w
     pad = (-n) % block
@@ -207,6 +217,8 @@ def groupby_small_swar_pallas(
     L8 = np.uint32(0x80808080)
     M1 = np.uint32(0x01010101)
 
+    L = w * stack  # lanes per dot (stacked strip width)
+
     def kernel(k_ref, v_ref, out_ref, acc_lo, acc_hi):
         i = pl.program_id(0)
 
@@ -216,40 +228,48 @@ def groupby_small_swar_pallas(
             acc_hi[...] = jnp.zeros((ga, gb), jnp.int32)
 
         pinv_a = ~(
-            jax.lax.broadcasted_iota(jnp.uint32, (ga // 4, w), 0)
+            jax.lax.broadcasted_iota(jnp.uint32, (ga // 4, L), 0)
             * np.uint32(4 * 0x01010101)
             + np.uint32(0x03020100)
         )
         pinv_b = ~(
-            jax.lax.broadcasted_iota(jnp.uint32, (gb // 4, w), 0)
+            jax.lax.broadcasted_iota(jnp.uint32, (gb // 4, L), 0)
             * np.uint32(4 * 0x01010101)
             + np.uint32(0x03020100)
         )
         dims = (((1,), (1,)), ((), ()))
-        for r in range(rows):
-            row = k_ref[r, :].reshape(1, w)
-            val = v_ref[r, :].reshape(1, w)
-            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
-            hi = jnp.where(bad, np.int32(127), row >> shift)
-            lo = row & (gb - 1)  # bad rows killed by the hi side
+
+        def cat(parts):
+            return parts[0] if stack == 1 else jnp.concatenate(
+                parts, axis=1
+            )
+
+        for r0 in range(0, rows, stack):
+            his, los, vls, vhs = [], [], [], []
+            for r in range(r0, r0 + stack):
+                row = k_ref[r, :].reshape(1, w)
+                val = v_ref[r, :].reshape(1, w)
+                bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+                his.append(jnp.where(bad, np.int32(127), row >> shift))
+                los.append(row & (gb - 1))  # bad killed by the hi side
+                vls.append((val & 0x7F).astype(jnp.uint32))
+                vhs.append((val >> 7).astype(jnp.uint32))
             za = (
-                jnp.broadcast_to(hi.astype(jnp.uint32) * M1, (ga // 4, w))
+                jnp.broadcast_to(cat(his).astype(jnp.uint32) * M1,
+                                 (ga // 4, L))
                 ^ pinv_a
             ) - L7 & L8
             zb = (
-                jnp.broadcast_to(lo.astype(jnp.uint32) * M1, (gb // 4, w))
+                jnp.broadcast_to(cat(los).astype(jnp.uint32) * M1,
+                                 (gb // 4, L))
                 ^ pinv_b
             ) - L7 & L8
             q = (zb >> 7) & M1  # 0x01 at the matching byte
-            wlo = q * jnp.broadcast_to(
-                (val & 0x7F).astype(jnp.uint32), (gb // 4, w)
-            )
-            whi = q * jnp.broadcast_to(
-                (val >> 7).astype(jnp.uint32), (gb // 4, w)
-            )
-            oh_a = pltpu.bitcast(za, jnp.int8)  # (ga, w): -128 at match
-            blo = pltpu.bitcast(wlo, jnp.int8)  # (gb, w): v&127 at match
-            bhi = pltpu.bitcast(whi, jnp.int8)  # (gb, w): v>>7 at match
+            wlo = q * jnp.broadcast_to(cat(vls), (gb // 4, L))
+            whi = q * jnp.broadcast_to(cat(vhs), (gb // 4, L))
+            oh_a = pltpu.bitcast(za, jnp.int8)  # (ga, L): -128 at match
+            blo = pltpu.bitcast(wlo, jnp.int8)  # (gb, L): v&127 at match
+            bhi = pltpu.bitcast(whi, jnp.int8)  # (gb, L): v>>7 at match
             acc_lo[...] -= jax.lax.dot_general(
                 oh_a, blo, dimension_numbers=dims,
                 preferred_element_type=jnp.int32,

@@ -114,12 +114,14 @@ def histogram_16k_pallas(
 
 
 @partial(jax.jit,
-         static_argnames=("hi_bins", "rows", "fast_zdetect", "interpret"))
+         static_argnames=("hi_bins", "rows", "fast_zdetect", "stack",
+                          "interpret"))
 def histogram_16k_swar_pallas(
     k: jnp.ndarray,
     hi_bins: int = 128,
     rows: int = 32,  # device A/B at 2^22/hi80: 0.333 ms vs 0.341 (16)
     fast_zdetect: bool = True,
+    stack: int = 1,
     interpret: bool = False,  # and 0.358 (8) — fewer grid steps win
 ):
     """histogram_16k semantics with SWAR one-hot construction (round 3).
@@ -155,8 +157,23 @@ def histogram_16k_swar_pallas(
 
     Sentinel (generic path): out-of-range keys (uint32 ≥ hi_bins·128,
     incl. padding) take digit byte 255, which never equals a bin pattern
-    ≤ 127."""
+    ≤ 127.
+
+    ``stack`` (round 4): per-row (nb, W)·(128, W) dots are MXU
+    ISSUE-bound, not stream-bound — M, N ≤ 128 use a sliver of the
+    systolic array and K = W streams in ~W/128 beats, so the ~2048
+    per-row dots' fill/drain dominates (the h1 experiment: the 3-op
+    zdetect moved the kernel only 0.56 → 0.39 ms because the dots, not
+    the VPU, held the floor). Stacking concatenates ``stack`` rows'
+    DIGIT strips along lanes (ONE copy per element row) before the
+    zdetect, so one (nb, stack·W) dot serves ``stack`` rows at 1/stack
+    the issue count; the accumulation semantics are identical because
+    the contraction is a sum over lanes either way."""
     assert hi_bins % 8 == 0 and hi_bins <= 128
+    assert rows % stack == 0
+    # per-DOT cell sums are pre-shift 16384·(co-matching lanes ≤ stack·W):
+    # must stay < 2^31 even when a whole strip hits one (hi, lo) cell
+    assert (16384 * stack * _W) < (1 << 31), stack
     n = k.shape[0]
     block = rows * _W
     pad = (-n) % block
@@ -169,6 +186,8 @@ def histogram_16k_swar_pallas(
     MUL = np.uint32(0x01010101)
     hi_needs_mask = hi_bins > 120  # byte 127 unusable as a hi sentinel
 
+    L = _W * stack  # lanes per dot (stacked strip width)
+
     def kernel(k_ref, out_ref, acc_ref):
         i = pl.program_id(0)
 
@@ -177,12 +196,12 @@ def histogram_16k_swar_pallas(
             acc_ref[...] = jnp.zeros((hi_bins, 128), jnp.int32)
 
         pats_hi = (
-            jax.lax.broadcasted_iota(jnp.uint32, (hi_bins // 4, _W), 0)
+            jax.lax.broadcasted_iota(jnp.uint32, (hi_bins // 4, L), 0)
             * np.uint32(4 * 0x01010101)
             + np.uint32(0x03020100)
         )
         pats_lo = (
-            jax.lax.broadcasted_iota(jnp.uint32, (32, _W), 0)
+            jax.lax.broadcasted_iota(jnp.uint32, (32, L), 0)
             * np.uint32(4 * 0x01010101)
             + np.uint32(0x03020100)
         )
@@ -190,38 +209,48 @@ def histogram_16k_swar_pallas(
             pinv_hi, pinv_lo = ~pats_hi, ~pats_lo
 
         def zdetect(p, pats, nb):
-            t = jnp.broadcast_to(p, (nb, _W)) ^ pats
+            t = jnp.broadcast_to(p, (nb, L)) ^ pats
             return ~(((t & L7) + L7) | t | L7)
 
         def zdetect3(p, pinv, nb):
             # 3-op form (see docstring): bytes of p and ~pinv must be 7-bit
-            return (jnp.broadcast_to(p, (nb, _W)) ^ pinv) - L7 & L8
+            return (jnp.broadcast_to(p, (nb, L)) ^ pinv) - L7 & L8
 
-        for r in range(rows):
-            row = k_ref[r, :].reshape(1, _W)
-            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
-            if fast_zdetect:
-                if hi_needs_mask:
-                    hi = jnp.where(bad, np.int32(0), row >> 7)
-                    keep = jnp.where(bad, np.uint32(0),
-                                     np.uint32(0xFFFFFFFF))
-                    zh = zdetect3(hi.astype(jnp.uint32) * MUL, pinv_hi,
-                                  hi_bins // 4) & jnp.broadcast_to(
-                                      keep, (hi_bins // 4, _W))
+        def cat(parts):
+            return parts[0] if stack == 1 else jnp.concatenate(
+                parts, axis=1
+            )
+
+        for r0 in range(0, rows, stack):
+            his, los, keeps = [], [], []
+            for r in range(r0, r0 + stack):
+                row = k_ref[r, :].reshape(1, _W)
+                bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+                if fast_zdetect:
+                    if hi_needs_mask:
+                        his.append(jnp.where(bad, np.int32(0), row >> 7))
+                        keeps.append(jnp.where(bad, np.uint32(0),
+                                               np.uint32(0xFFFFFFFF)))
+                    else:
+                        his.append(jnp.where(bad, np.int32(127),
+                                             row >> 7))
+                    los.append(row & 127)  # bad killed by the hi side
                 else:
-                    hi = jnp.where(bad, np.int32(127), row >> 7)
-                    zh = zdetect3(hi.astype(jnp.uint32) * MUL, pinv_hi,
-                                  hi_bins // 4)
-                lo = row & 127  # bad rows killed by the hi side
-                zl = zdetect3(lo.astype(jnp.uint32) * MUL, pinv_lo, 32)
+                    his.append(jnp.where(bad, np.int32(255), row >> 7))
+                    los.append(jnp.where(bad, np.int32(255), row & 127))
+            hiw = cat(his).astype(jnp.uint32) * MUL
+            low = cat(los).astype(jnp.uint32) * MUL
+            if fast_zdetect:
+                zh = zdetect3(hiw, pinv_hi, hi_bins // 4)
+                if hi_needs_mask:
+                    zh = zh & jnp.broadcast_to(cat(keeps),
+                                               (hi_bins // 4, L))
+                zl = zdetect3(low, pinv_lo, 32)
             else:
-                hi = jnp.where(bad, np.int32(255), row >> 7)
-                lo = jnp.where(bad, np.int32(255), row & 127)
-                zh = zdetect(hi.astype(jnp.uint32) * MUL, pats_hi,
-                             hi_bins // 4)
-                zl = zdetect(lo.astype(jnp.uint32) * MUL, pats_lo, 32)
-            oh_hi = pltpu.bitcast(zh, jnp.int8)  # (hi_bins, W)
-            oh_lo = pltpu.bitcast(zl, jnp.int8)  # (128, W)
+                zh = zdetect(hiw, pats_hi, hi_bins // 4)
+                zl = zdetect(low, pats_lo, 32)
+            oh_hi = pltpu.bitcast(zh, jnp.int8)  # (hi_bins, L)
+            oh_lo = pltpu.bitcast(zl, jnp.int8)  # (128, L)
             acc_ref[...] += jax.lax.dot_general(
                 oh_hi, oh_lo, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,

@@ -39,12 +39,13 @@ _W = 2048
 _RANGE = 1 << 14
 
 
-@partial(jax.jit, static_argnames=("hi_rows", "interpret"))
+@partial(jax.jit, static_argnames=("hi_rows", "stack", "interpret"))
 def probe_dense_cat_pallas(
     packed3: jnp.ndarray,
     base128: jnp.ndarray,
     ki: jnp.ndarray,
     hi_rows: int = 128,
+    stack: int = 1,
     interpret: bool = False,
 ):
     """Round-4 fused probe: scaled-plane CONCATENATION makes ONE
@@ -67,10 +68,14 @@ def probe_dense_cat_pallas(
     >= hi_rows·128) → (0, 0); pos = 0 where cnt == 0.
     ``hi_rows`` < 128 is the range-aware fast path (valid keys must be
     < hi_rows·128 — the hi80 asymmetry of the histogram/probe family).
+    ``stack`` batches that many query rows per dot along the N (lane)
+    dimension — the per-row dots are MXU issue-bound (j1/j2,
+    scripts/measure_r5.py).
 
     Reference parity: omnisci_hashtable.hpp:149-192 (JoinOneToMany probe).
     """
     h = hi_rows
+    assert _ROWS % stack == 0
     n = ki.shape[0]
     block = _ROWS * _W
     pad = (-n) % block
@@ -103,36 +108,43 @@ def probe_dense_cat_pallas(
         def _():
             ones_ref[...] = jnp.ones((1, 128), jnp.float32)
 
-        iota3 = jax.lax.broadcasted_iota(jnp.int32, (3 * h, _W), 0)
+        L = _W * stack
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, (3 * h, L), 0)
         iota_mod = iota3 - (iota3 // h) * h  # hi-digit iota tiled 3x
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, _W), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
         hp = jax.lax.Precision.HIGHEST
-        for r in range(_ROWS):
-            row = k_ref[r, :].reshape(1, _W)
-            bad = row.astype(jnp.uint32) >= jnp.uint32(h * 128)
-            hi = jnp.where(bad, np.int32(h), row >> 7)
-            lo = row & 127
-            oh3 = (jnp.broadcast_to(hi, (3 * h, _W)) == iota_mod).astype(
+        for r0 in range(0, _ROWS, stack):
+            his, los = [], []
+            for r in range(r0, r0 + stack):
+                row = k_ref[r, :].reshape(1, _W)
+                bad = row.astype(jnp.uint32) >= jnp.uint32(h * 128)
+                his.append(jnp.where(bad, np.int32(h), row >> 7))
+                los.append(row & 127)
+            hiw = his[0] if stack == 1 else jnp.concatenate(his, axis=1)
+            low = los[0] if stack == 1 else jnp.concatenate(los, axis=1)
+            oh3 = (jnp.broadcast_to(hiw, (3 * h, L)) == iota_mod).astype(
                 mdt
             )
             b = jax.lax.dot_general(
                 t_ref[...], oh3,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (129, W): rows 0..127 = packed3[k], row 128 = base128[hi]
-            oh_lo = (jnp.broadcast_to(lo, (128, _W)) == iota_l).astype(
+            )  # (129, L): rows 0..127 = packed3[k], row 128 = base128[hi]
+            oh_lo = (jnp.broadcast_to(low, (128, L)) == iota_l).astype(
                 jnp.float32
             )
             rel = jax.lax.dot_general(
                 ones_ref[...], b[:128, :] * oh_lo,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=hp,
-            ).astype(jnp.int32)  # (1, W) packed3[k]
+            ).astype(jnp.int32)  # (1, L) packed3[k]
             base = b[128:129, :].astype(jnp.int32)
             cnt = rel & 1023
             pos = jnp.where(cnt > 0, base + (rel >> 10), 0)
-            pos_ref[r, :] = pos.reshape(_W)
-            cnt_ref[r, :] = cnt.reshape(_W)
+            for j in range(stack):
+                sl = slice(j * _W, (j + 1) * _W)
+                pos_ref[r0 + j, :] = pos[0, sl]
+                cnt_ref[r0 + j, :] = cnt[0, sl]
 
     pos, cnt = pl.pallas_call(
         kernel,

@@ -67,6 +67,45 @@ _MIN_DIFF_S = 0.2  # exec-time spread between depths must dwarf jitter
 _MAX_DEPTH = 100_000
 
 
+def time_device_looped(fn, *args, perturb, fold, k: int = 16,
+                       repeats: int = 2) -> float:
+    """TRUE per-execution device seconds: run ``fn`` k times inside ONE
+    jit via ``lax.fori_loop`` with a data-dependence chain, and take the
+    (T_k − T_1)/(k−1)... slope between loop lengths.
+
+    Round 4 measured the host's per-jit-call dispatch at 0.13–0.30 ms
+    (variable with host state) — for sub-ms kernels the queue-k pattern
+    therefore measures DISPATCH, not the device (structurally different
+    kernels all "converged" to ~0.23–0.31 ms, and the same binary moved
+    30% between sessions; scripts/measure_r5.py d1). Device-looping
+    removes the per-call dispatch entirely, which is exactly the
+    reference's kernel-time semantics: OpenCL event profiling
+    (CL_PROFILING_COMMAND_START/END, scan/scan.cpp:142-154) also
+    excludes enqueue/dispatch.
+
+    ``perturb(args_tuple, carry)`` must return new args with a REAL data
+    dependence on the int32 ``carry`` (or XLA hoists the loop-invariant
+    body and the measurement collapses); ``fold(out)`` must reduce the
+    output to an int32 scalar that feeds the next carry (keeps every
+    iteration live). The outer calls still use the queue-k harness, so
+    per-call dispatch cancels in the subtraction."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(kk):
+        @jax.jit
+        def g(*a):
+            def body(i, carry):
+                return fold(fn(*perturb(a, carry)))
+            return jax.lax.fori_loop(0, kk, body, jnp.int32(0))
+        return g
+
+    g1, gk = make(1), make(k + 1)
+    t1 = min(time_amortized(g1, *args) for _ in range(repeats))
+    tk = min(time_amortized(gk, *args) for _ in range(repeats))
+    return max((tk - t1) / k, 1e-9)
+
+
 def time_amortized(fn: Callable, *args, k: int = 8, warmup: int = 1) -> float:
     """Per-execution seconds via the queue-k pattern (see module docstring):
     the slope between two queue depths cancels dispatch and the sync

@@ -1,0 +1,149 @@
+"""BASELINE config #4, the 50%-hit-rate probe variant: cuckoo + slab
+tables built from 2^24 distinct keys, probed with 2^24 queries of which
+half are inserted keys and half are guaranteed-absent, 9 iterations.
+
+The registered dwarfs mirror the reference's probe-all-inserted-keys
+semantics (hash/cuckoo_hash_build.cpp:101-119, probe/slab_probe.cpp:
+78-95); the 50% hit rate comes from BASELINE.json's config list, so this
+harness generates the mixed probe set itself and validates ON DEVICE
+(found[:half] all true, found[half:] all false — full-array readback
+through the tunnel is MB/s).
+
+Writes reference-schema CSV rows (``device_type,buf_size_bytes,
+host_time_ms,kernel_time_ms`` — kernel_time is the queue-k amortized
+probe time, host_time the fenced wall time per probe call) to
+results/sweeps/report_hash_hit50.csv with a side log carrying build
+convergence (cuckoo attempts/rounds) and rates.
+
+Usage: python scripts/benchmark_hash_hit50.py [log2_n (default 24)]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    lg = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    n = 1 << lg
+    import jax
+
+    from dwarf_bench_tpu.common.device import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+    from dwarf_bench_tpu.ops import bucket_hash, cuckoo
+    from dwarf_bench_tpu.common.datagen import make_unique_random
+    from dwarf_bench_tpu.utils.timing import sync, time_amortized, timed
+
+    dev = jax.devices()[0]
+    device_ty = "TPU" if dev.platform != "cpu" else "CPU"
+    csv = "results/sweeps/report_hash_hit50.csv"
+    logf = "results/sweeps/report_hash_hit50.log"
+    os.makedirs("results/sweeps", exist_ok=True)
+
+    def log(msg):
+        print(msg, flush=True)
+        with open(logf, "a") as f:
+            f.write(msg + "\n")
+
+    def csv_row(host_ms, kernel_ms):
+        header = "device_type,buf_size_bytes,host_time_ms,kernel_time_ms"
+        need_header = not os.path.exists(csv)
+        with open(csv, "a") as f:
+            if need_header:
+                f.write(header + "\n")
+            f.write(f"{device_ty},{n * 4},{host_ms:.3f},{kernel_ms:.3f}\n")
+
+    log(f"=== hash hit50 n=2^{lg} on {dev} "
+        f"({time.strftime('%Y-%m-%d %H:%M:%S')}) ===")
+    keys = make_unique_random(n, seed=1234)  # distinct, in [1, 10n]
+    rng = np.random.default_rng(99)
+    probes = np.empty(n, np.uint32)
+    half = n // 2
+    probes[:half] = rng.permutation(keys)[:half]
+    # absent: keys live in [1, 10n] <= 10*2^24 < 2^28; take [2^28, 2^28+n)
+    probes[half:] = (
+        rng.integers(0, n, n - half).astype(np.uint32) + np.uint32(1 << 28)
+    )
+    vals = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    import jax.numpy as jnp
+
+    dk = jax.device_put(jnp.asarray(keys), dev)
+    dv = jax.device_put(jnp.asarray(vals), dev)
+    dp = jax.device_put(jnp.asarray(probes), dev)
+    sync(dp)
+
+    def validate(found):
+        import jax.numpy as jnp
+
+        f = found.astype(jnp.int32)
+        hits = int(np.asarray(jax.jit(jnp.sum)(f[:half])))
+        misses = int(np.asarray(jax.jit(jnp.sum)(f[half:])))
+        ok = hits == half and misses == 0
+        log(f"  validation: hits {hits}/{half}, false hits {misses} -> "
+            f"{'VALID' if ok else 'INVALID'}")
+        return ok
+
+    # ---- slab (bucketized) ------------------------------------------
+    nb = bucket_hash.calculate_buckets_count(n)
+    build_fn = jax.jit(
+        lambda k, v: bucket_hash.build(k, v, num_buckets=nb)
+    )
+    tbl, t0 = timed(build_fn, dk, dv)  # compile + warm
+    _, t_build = timed(build_fn, dk, dv)
+    log(f"slab build: {t_build*1e3:.1f} ms (buckets={nb}; "
+        f"compile+first {t0:.1f} s); "
+        f"{n/t_build/1e9:.3f} Grows/s")
+    find = jax.jit(bucket_hash.find)
+    found, _ = find(tbl, dp)
+    assert validate(found), "slab 50%-hit probe validation failed"
+    for it in range(9):
+        _, t_host = timed(find, tbl, dp)
+        t_k = time_amortized(find, tbl, dp)
+        csv_row(t_host * 1e3, t_k * 1e3)
+        log(f"slab probe iter {it}: host {t_host*1e3:.1f} ms, "
+            f"kernel {t_k*1e3:.3f} ms = {n/t_k/1e9:.3f} Grows/s")
+
+    # ---- cuckoo ------------------------------------------------------
+    ht_size = 4 * n  # cuckoo_hash_build.cpp:14
+    max_iters = min(n, 100_000)  # cuckoo_hashtable.hpp:45
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:  # host rebuild loop (cuckoo_hash_build.cpp:43-93)
+        tbl2, t_try = timed(
+            cuckoo.build, dk, ht_size, np.uint32(0x9E3779B9 + attempt),
+            np.uint32(0x85EBCA6B + 2 * attempt), max_iters,
+        )
+        rounds = int(np.asarray(tbl2.rounds))
+        conv = bool(np.asarray(tbl2.success))
+        log(f"cuckoo build attempt {attempt}: {t_try:.2f} s, "
+            f"rounds={rounds}, converged={conv}")
+        if conv or attempt >= 6:
+            break
+        attempt += 1
+    log(f"cuckoo build total (incl. compile on attempt 0): "
+        f"{time.perf_counter()-t0:.1f} s; attempts={attempt + 1}")
+    _, t_build2 = timed(
+        cuckoo.build, dk, ht_size, tbl2.seed1, tbl2.seed2, max_iters
+    )
+    log(f"cuckoo build (warm, winning seeds): {t_build2*1e3:.1f} ms = "
+        f"{n/t_build2/1e9:.4f} Grows/s")
+    has = jax.jit(cuckoo.has)
+    assert validate(has(tbl2, dp)), "cuckoo 50%-hit probe failed"
+    for it in range(9):
+        _, t_host = timed(has, tbl2, dp)
+        t_k = time_amortized(has, tbl2, dp)
+        csv_row(t_host * 1e3, t_k * 1e3)
+        log(f"cuckoo probe iter {it}: host {t_host*1e3:.1f} ms, "
+            f"kernel {t_k*1e3:.3f} ms = {n/t_k/1e9:.3f} Grows/s")
+    log("=== hash hit50 done ===")
+
+
+if __name__ == "__main__":
+    main()

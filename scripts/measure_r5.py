@@ -211,7 +211,7 @@ def s1():
     t = time_amortized(jax.jit(chunk_stats_xla), x2, thr)
     print(f"s1 chunk_stats_xla: {t*1e3:.3f} ms", flush=True)
     sx, bx = chunk_stats_xla(x2, thr)
-    for rows in (512, 1024, 2048):
+    for rows in (1024, 2048):
         fn = jax.jit(partial(chunk_stats_roll_pallas, rows=rows))
         sr, br = fn(x2, thr)
         t = time_amortized(fn, x2, thr)
@@ -237,6 +237,408 @@ def s2():
     print("s2 filter_sparse e2e x3: "
           + ", ".join(f"{t*1e3:.3f}" for t in ts)
           + f" ms -> min {min(ts)*1e3:.3f} = {n/min(ts)/1e9:.1f} G",
+          flush=True)
+
+
+def h3():
+    """Dot-issue hypothesis, histogram: lane-stacked strips (one dot per
+    ``stack`` rows) at 2^22, hi80 + hi128, fast zdetect."""
+    from dwarf_bench_tpu.ops.hist_pallas import histogram_16k_swar_pallas
+
+    rng = np.random.default_rng(0)
+    n = 1 << 22
+    for hb, span in ((80, 10000), (128, 16384)):
+        k = jnp.asarray(rng.integers(0, span, n).astype(np.int32))
+        ref = None
+        for stack in (1, 4, 8, 16, 32):
+            fn = jax.jit(partial(histogram_16k_swar_pallas, hi_bins=hb,
+                                 stack=stack))
+            try:
+                out = fn(k)
+                t = time_amortized(fn, k)
+            except Exception as e:
+                print(f"h3 hi{hb} stack={stack}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            if ref is None:
+                ref = out
+            mm = _mismatches(out, ref)
+            print(f"h3 hi{hb} stack={stack}: {t*1e3:.3f} ms "
+                  f"(mism {mm})", flush=True)
+            assert mm == 0
+
+
+def g3():
+    """Dot-issue hypothesis, groupby G=64: lane-stacked strips."""
+    from dwarf_bench_tpu.ops.groupby_pallas import (
+        groupby_small_swar_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    n, G = 1 << 22, 64
+    k = jnp.asarray(rng.integers(0, G, n).astype(np.uint32))
+    v = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    )
+    ref = None
+    for stack in (1, 4, 8, 16, 32):
+        fn = jax.jit(partial(groupby_small_swar_pallas, num_groups=G,
+                             stack=stack))
+        try:
+            out = fn(k, v)
+            t = time_amortized(fn, k, v)
+        except Exception as e:
+            print(f"g3 stack={stack}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
+            continue
+        if ref is None:
+            ref = out
+        mm = _mismatches(out, ref)
+        print(f"g3 stack={stack}: {t*1e3:.3f} ms = {n/t/1e9:.2f} G "
+              f"(mism {mm})", flush=True)
+        assert mm == 0
+
+
+def j2():
+    """Dot-issue hypothesis, CAT probe: stacked query strips at 2^20."""
+    from dwarf_bench_tpu.ops import csr_join
+    from dwarf_bench_tpu.ops.probe_pallas import probe_dense_cat_pallas
+
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    A = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    B = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    tbl = csr_join.build_dense(jnp.asarray(A))
+    minv = int(np.asarray(tbl.minv))
+    ki = jnp.asarray((B.astype(np.int64) - minv).astype(np.int32))
+    ref = csr_join.probe_dense(tbl, jnp.asarray(B))
+    for hr in (80, 128):
+        for stack in (2, 4, 8):
+            fn = jax.jit(partial(probe_dense_cat_pallas, hi_rows=hr,
+                                 stack=stack))
+            try:
+                pos, cnt = fn(tbl.packed3, tbl.base128, ki)
+                t = time_amortized(fn, tbl.packed3, tbl.base128, ki)
+            except Exception as e:
+                print(f"j2 hi{hr} stack={stack}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            mm = _mismatches(pos, ref.pos) + _mismatches(cnt, ref.counts)
+            print(f"j2 CAT hi{hr} stack={stack}: {t*1e3:.3f} ms "
+                  f"(mism {mm})", flush=True)
+            assert mm == 0
+
+
+def _looped(fn, x, K, perturb, fold):
+    """Device-looped timing: run ``fn`` K times inside ONE jit with a
+    data-dependence chain (carry perturbs the input; no host dispatch
+    between iterations). Returns per-iteration seconds via the
+    (T_K - T_1) slope — the true device kernel time even when Python
+    dispatch exceeds it."""
+    def make(KK):
+        @jax.jit
+        def g(xx):
+            def body(i, carry):
+                out = fn(perturb(xx, carry))
+                return fold(out)
+            return jax.lax.fori_loop(0, KK, body, jnp.int32(0))
+        return g
+    g1, gk = make(1), make(K + 1)
+    t1 = min(time_amortized(g1, x) for _ in range(2))
+    tk = min(time_amortized(gk, x) for _ in range(2))
+    return (tk - t1) / K
+
+
+def d1():
+    """THE measurement-method experiment: per-call queue-k readings vs
+    device-looped truth. If the host's per-call dispatch exceeds a
+    sub-ms kernel, queue-k measures DISPATCH, not the device — the
+    suspected cause of the h1/g1-vs-g3 session variance and the
+    round-3 docs-vs-driver scan gap."""
+    from dwarf_bench_tpu.ops.hist_pallas import histogram_16k_swar_pallas
+    from dwarf_bench_tpu.ops.groupby_pallas import (
+        groupby_small_swar_pallas,
+        groupby_small_pallas,
+    )
+    from dwarf_bench_tpu.ops.mxu_gather import gather_16k_rel
+    from dwarf_bench_tpu.ops import csr_join
+    from dwarf_bench_tpu.ops.probe_pallas import probe_dense_cat_pallas
+    from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+    from dwarf_bench_tpu.ops.chunk_stats_pallas import (
+        chunk_stats_roll_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    tiny = jnp.zeros((8, 128), jnp.int32)
+    f = jax.jit(lambda x: x + 1)
+    for _ in range(3):
+        t = time_amortized(f, tiny)
+        print(f"d1 queue-k dispatch floor (tiny x+1): {t*1e3:.3f} ms",
+              flush=True)
+
+    n = 1 << 22
+    k = jnp.asarray(rng.integers(0, 10000, n).astype(np.int32))
+    K = 16
+    for stack in (1, 16):
+        fn = partial(histogram_16k_swar_pallas, hi_bins=80, stack=stack)
+        t = _looped(fn, k, K,
+                    lambda x, c: x + (c & 1),
+                    lambda out: (out[0] & 1).astype(jnp.int32))
+        print(f"d1 hist hi80 stack={stack} DEVICE: {t*1e3:.3f} ms",
+              flush=True)
+
+    G = 64
+    kk = jnp.asarray(rng.integers(0, G, n).astype(np.uint32))
+    vv = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    )
+    for name, fn0 in (("shipped", groupby_small_pallas),
+                      ("swar s1", partial(groupby_small_swar_pallas,
+                                          stack=1)),
+                      ("swar s4", partial(groupby_small_swar_pallas,
+                                          stack=4))):
+        fn = partial(fn0, num_groups=G)
+        t = _looped(lambda v: fn(kk, v), vv, K,
+                    lambda v, c: v + (c & 1).astype(jnp.uint32),
+                    lambda out: (out[0] & 1).astype(jnp.int32))
+        print(f"d1 groupby {name} DEVICE: {t*1e3:.3f} ms = "
+              f"{n/t/1e9:.1f} G", flush=True)
+
+    m = 1 << 20
+    A = rng.integers(1, 10000, m, endpoint=True).astype(np.uint32)
+    B = rng.integers(1, 10000, m, endpoint=True).astype(np.uint32)
+    tbl = csr_join.build_dense(jnp.asarray(A))
+    minv = int(np.asarray(tbl.minv))
+    ki = jnp.asarray((B.astype(np.int64) - minv).astype(np.int32))
+    for name, fn in (
+        ("XLA rel", lambda q: gather_16k_rel(tbl.packed3, tbl.base128,
+                                             q)[0]),
+        ("CAT hi80", lambda q: probe_dense_cat_pallas(
+            tbl.packed3, tbl.base128, q, hi_rows=80)[0]),
+        ("CAT hi80 s4", lambda q: probe_dense_cat_pallas(
+            tbl.packed3, tbl.base128, q, hi_rows=80, stack=4)[0]),
+    ):
+        t = _looped(fn, ki, K,
+                    lambda x, c: jnp.minimum(x + (c & 1), 10239),
+                    lambda out: (out[0] & 1).astype(jnp.int32))
+        print(f"d1 probe {name} DEVICE: {t*1e3:.3f} ms", flush=True)
+
+    ns = 1 << 24
+    xs = jnp.asarray(
+        rng.integers(1, 10000, ns, endpoint=True).astype(np.int32)
+    ).reshape(-1, 128)
+    for name, fn in (
+        ("stats XLA", lambda x: chunk_stats_xla(x, 5)[0]),
+        ("stats roll", lambda x: chunk_stats_roll_pallas(x, 5)[0]),
+    ):
+        t = _looped(fn, xs, K,
+                    lambda x, c: x + (c & 1),
+                    lambda out: (out[0] & 1).astype(jnp.int32))
+        print(f"d1 scan {name} DEVICE: {t*1e3:.3f} ms", flush=True)
+
+
+def d2():
+    """Device-looped FULL pipelines (the bench components): sort_auto at
+    2^22, filter_sparse at 2^24, groupby at 2^22 — the honest device
+    kernel_time for the headline ops."""
+    from dwarf_bench_tpu.ops.sort import sort_auto
+    from dwarf_bench_tpu.ops.scan import filter_sparse
+    from dwarf_bench_tpu.ops import groupby
+
+    rng = np.random.default_rng(0)
+    n = 1 << 22
+    x = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+    )
+    t = _looped(lambda v: sort_auto(v)[:1], x, 8,
+                lambda v, c: v + (c & 1),
+                lambda out: (out[0] & 1).astype(jnp.int32))
+    print(f"d2 sort_auto 2^22 DEVICE: {t*1e3:.3f} ms = "
+          f"{n/t/1e9:.2f} G", flush=True)
+
+    ns = 1 << 24
+    xs = jnp.asarray(
+        rng.integers(1, 10000, ns, endpoint=True).astype(np.int32)
+    )
+    t = _looped(lambda v: filter_sparse(v)[0][:1], xs, 8,
+                # xor of the last bit defeats hoisting but keeps the
+                # value range and the benchmark selectivity
+                lambda v, c: v ^ (c & 1),
+                lambda out: (out[0] & 1).astype(jnp.int32))
+    print(f"d2 filter_sparse 2^24 DEVICE: {t*1e3:.3f} ms = "
+          f"{ns/t/1e9:.2f} G", flush=True)
+
+    G = 64
+    kk = jnp.asarray(rng.integers(0, G, n).astype(np.uint32))
+    vv = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    )
+    t = _looped(lambda v: groupby.groupby_sum(kk, v, G,
+                                              vals_below_2p14=True)[:1],
+                vv, 8,
+                lambda v, c: v + (c & 1).astype(jnp.uint32),
+                lambda out: (out[0] & 1).astype(jnp.int32))
+    print(f"d2 groupby G=64 DEVICE: {t*1e3:.3f} ms = "
+          f"{n/t/1e9:.2f} G", flush=True)
+
+
+def _gb_diag_kernel_factory(mode, ga=8, gb=8, rows=32, w=4096, naccs=1):
+    """Diagnostic variants of the SWAR groupby block kernel:
+    'full' = construction + dots; 'nodot' = construction only (cheap
+    slice consumption keeps arrays live); 'dotonly' = constant operands,
+    dots + accumulate chain only; naccs > 1 breaks the accumulator RAW
+    chain with round-robin accumulators."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L7 = np.uint32(0x7F7F7F7F)
+    L8 = np.uint32(0x80808080)
+    M1 = np.uint32(0x01010101)
+    shift = int(np.log2(gb))
+
+    def kernel(k_ref, v_ref, out_ref, *accs):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for a in accs:
+                a[...] = jnp.zeros((ga, gb), jnp.int32)
+
+        pinv_a = ~(
+            jax.lax.broadcasted_iota(jnp.uint32, (ga // 4, w), 0)
+            * np.uint32(4 * 0x01010101) + np.uint32(0x03020100)
+        )
+        pinv_b = ~(
+            jax.lax.broadcasted_iota(jnp.uint32, (gb // 4, w), 0)
+            * np.uint32(4 * 0x01010101) + np.uint32(0x03020100)
+        )
+        dims = (((1,), (1,)), ((), ()))
+
+        def build(r):
+            row = k_ref[r, :].reshape(1, w)
+            val = v_ref[r, :].reshape(1, w)
+            hi = row >> shift
+            lo = row & (gb - 1)
+            za = (jnp.broadcast_to(hi.astype(jnp.uint32) * M1,
+                                   (ga // 4, w)) ^ pinv_a) - L7 & L8
+            zb = (jnp.broadcast_to(lo.astype(jnp.uint32) * M1,
+                                   (gb // 4, w)) ^ pinv_b) - L7 & L8
+            q = (zb >> 7) & M1
+            wlo = q * jnp.broadcast_to((val & 0x7F).astype(jnp.uint32),
+                                       (gb // 4, w))
+            whi = q * jnp.broadcast_to((val >> 7).astype(jnp.uint32),
+                                       (gb // 4, w))
+            return (pltpu.bitcast(za, jnp.int8),
+                    pltpu.bitcast(wlo, jnp.int8),
+                    pltpu.bitcast(whi, jnp.int8))
+
+        if mode == "dotonly":
+            oh_a, blo, bhi = build(0)
+        for r in range(rows):
+            if mode != "dotonly":
+                oh_a, blo, bhi = build(r)
+            if mode == "nodot":
+                # consume via cheap slices (keeps construction live)
+                accs[r % naccs][...] += (
+                    oh_a[:, :gb].astype(jnp.int32)
+                    + blo[:ga, :gb].astype(jnp.int32)
+                    + bhi[:ga, :gb].astype(jnp.int32)
+                )
+            else:
+                a = accs[r % naccs]
+                a[...] -= jax.lax.dot_general(
+                    oh_a, blo, dimension_numbers=dims,
+                    preferred_element_type=jnp.int32) >> 7
+                a[...] -= jax.lax.dot_general(
+                    oh_a, bhi, dimension_numbers=dims,
+                    preferred_element_type=jnp.int32) >> 7
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            tot = accs[0][...]
+            for a in accs[1:]:
+                tot = tot + a[...]
+            out_ref[...] = tot
+
+    def run(k, v):
+        n = k.shape[0]
+        block = rows * w
+        pad = (-n) % block
+        kp = jnp.pad(k.astype(jnp.int32), (0, pad))
+        vp = jnp.pad(v.astype(jnp.int32), (0, pad))
+        return pl.pallas_call(
+            kernel,
+            grid=((n + pad) // block,),
+            in_specs=[
+                pl.BlockSpec((rows, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ga, gb), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((ga, gb), jnp.int32)
+                            for _ in range(naccs)],
+        )(kp.reshape(-1, w), vp.reshape(-1, w))
+
+    return run
+
+
+def d3():
+    """Wall location for the 0.22-0.31 ms device times: split the SWAR
+    groupby into construction-only vs dots-only (and chain-broken
+    accumulators), plus the radix expansion and join-build components
+    device-looped."""
+    from dwarf_bench_tpu.ops.primitives import sort_by_key
+    from dwarf_bench_tpu.ops.cumsum_pallas import cumsum_pallas
+    from dwarf_bench_tpu.ops.sort import _expand_runs
+
+    rng = np.random.default_rng(0)
+    n, G = 1 << 22, 64
+    kk = jnp.asarray(rng.integers(0, G, n).astype(np.uint32))
+    vv = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    )
+    for mode, naccs in (("full", 1), ("full", 4), ("nodot", 1),
+                        ("dotonly", 1), ("dotonly", 4)):
+        fn = _gb_diag_kernel_factory(mode, naccs=naccs)
+        try:
+            t = _looped(lambda v: fn(kk, v), vv, 16,
+                        lambda v, c: v + (c & 1).astype(jnp.uint32),
+                        lambda out: (out[0, 0] & 1).astype(jnp.int32))
+            print(f"d3 gb {mode} naccs={naccs} DEVICE: {t*1e3:.3f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"d3 gb {mode} naccs={naccs}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+    # radix expansion components at 2^22
+    counts = jnp.asarray(
+        np.bincount(
+            rng.integers(0, 10240, 1 << 22), minlength=10240
+        ).astype(np.int32)
+    )
+    t = _looped(lambda c: _expand_runs(c, 1 << 22)[:1], counts, 16,
+                lambda c, cr: c.at[0].add(cr & 1).at[1].add(-(cr & 1)),
+                lambda out: (out[0] & 1).astype(jnp.int32))
+    print(f"d3 _expand_runs 2^22 DEVICE: {t*1e3:.3f} ms", flush=True)
+    t = _looped(lambda c: cumsum_pallas(c, two_plane=False)[:1],
+                jnp.zeros((1 << 22,), jnp.int32), 16,
+                lambda c, cr: c.at[0].set(cr & 1),
+                lambda out: (out[0] & 1).astype(jnp.int32))
+    print(f"d3 cumsum_pallas 2^22 DEVICE: {t*1e3:.3f} ms", flush=True)
+
+    # join-build pieces at 2^20: the (u16, u32) unstable pair sort
+    m = 1 << 20
+    k16 = jnp.asarray(rng.integers(0, 10000, m).astype(np.uint16))
+    ids = jnp.asarray(np.arange(m, dtype=np.uint32))
+    t = _looped(
+        lambda kq: sort_by_key(kq, ids, stable=False)[1][:1], k16, 8,
+        lambda kq, c: kq ^ (c & 1).astype(jnp.uint16),
+        lambda out: (out[0] & 1).astype(jnp.int32))
+    print(f"d3 pair sort (u16,u32) 2^20 DEVICE: {t*1e3:.3f} ms",
           flush=True)
 
 

@@ -182,7 +182,7 @@ def test_roll_stats_match_oracle(rng, nch, thr):
     x2[0, :] = thr - 1  # an all-match chunk (cnt = 128)
     x2[-1, :] = thr + 1 if thr < 2**31 - 2 else thr  # an all-miss chunk
     stat, base = chunk_stats_roll_pallas(
-        jnp.asarray(x2), thr, rows=128, interpret=True
+        jnp.asarray(x2), thr, rows=1024, interpret=True
     )
     est, eb = oracle(x2, thr)
     assert np.array_equal(np.asarray(stat), est)
