@@ -49,18 +49,20 @@ def _time_op(fn, *args, k=8, repeats=3):
     return min(time_amortized(fn, *args, k=k) for _ in range(repeats))
 
 
-def _time_dev(fn, *args, perturb, fold):
-    """Device-looped kernel time (utils/timing.time_device_looped).
+def _time_dev(fn, *args, update, fold):
+    """Device-looped kernel time (timing.time_device_looped_inplace).
 
     Round 4 measured the per-jit-call HOST dispatch at 0.13-0.30 ms —
     comparable to the sub-ms headline kernels, so the round-1..3 queue-k
     component readings were dispatch-contaminated (and host-state
     dependent: the round-3 docs-vs-driver scan gap). The device loop is
     the faithful analog of the reference's kernel_time (OpenCL event
-    profiling excludes enqueue the same way, scan/scan.cpp:142-154)."""
-    from dwarf_bench_tpu.utils.timing import time_device_looped
+    profiling excludes enqueue the same way, scan/scan.cpp:142-154);
+    the in-place one-element update keeps iteration-coupling overhead
+    at O(1) even for 2^24-element inputs."""
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
 
-    return time_device_looped(fn, *args, perturb=perturb, fold=fold)
+    return time_device_looped_inplace(fn, *args, update=update, fold=fold)
 
 
 def main() -> None:
@@ -103,7 +105,8 @@ def main() -> None:
         # for the benchmark's [1, 10000] columns, XLA sort fallback otherwise
         return n / _time_dev(
             sort.sort_auto, x,
-            perturb=lambda a, c: (a[0] + (c & 1),),  # keeps span < 2^14
+            # poke ONE element with a value in the benchmark range
+            update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
             fold=lambda out: (out[0] & 1).astype(jnp.int32),
         )
 
@@ -119,8 +122,8 @@ def main() -> None:
             lambda kk, vv: groupby.groupby_sum(kk, vv, G,
                                                vals_below_2p14=True),
             k, v,
-            perturb=lambda a, c: (a[0],
-                                  a[1] + (c & 1).astype(jnp.uint32)),
+            update=lambda a, s: (a[0], a[1].at[s & 1023].set(
+                (1 + (s & 1)).astype(jnp.uint32))),
             fold=lambda out: (out[0] & 1).astype(jnp.int32),
         )
 
@@ -136,8 +139,8 @@ def main() -> None:
             lambda kk, vv: groupby.groupby_sum(kk, vv, G,
                                                vals_below_2p14=True),
             k, v,
-            perturb=lambda a, c: (a[0],
-                                  a[1] + (c & 1).astype(jnp.uint32)),
+            update=lambda a, s: (a[0], a[1].at[s & 1023].set(
+                (1 + (s & 1)).astype(jnp.uint32))),
             fold=lambda out: (out[0] & 1).astype(jnp.int32),
         )
 
@@ -171,8 +174,8 @@ def main() -> None:
 
         rate = n / _time_dev(
             join_fn, da, db,
-            perturb=lambda a, c: (a[0] + (c & 1).astype(jnp.uint32),
-                                  a[1]),
+            update=lambda a, s: (a[0].at[s & 1023].set(
+                (1 + (s & 1)).astype(jnp.uint32)), a[1]),
             fold=fold3,
         )
         # build/probe split (the reference reports the phases separately,
@@ -180,14 +183,15 @@ def main() -> None:
         # the two phase times can sum past the fused pipeline's time
         t_build = _time_dev(
             csr_join.build_dense, da,
-            perturb=lambda a, c: (a[0] + (c & 1).astype(jnp.uint32),),
+            update=lambda a, s: (a[0].at[s & 1023].set(
+                (1 + (s & 1)).astype(jnp.uint32)),),
             fold=lambda t: (t.id_buffer[0] & 1).astype(jnp.int32),
         )
         tbl = csr_join.build_dense(da)
         t_probe = _time_dev(
             partial(csr_join.probe_dense, hi_rows=hi_rows), tbl, db,
-            perturb=lambda a, c: (a[0],
-                                  a[1] + (c & 1).astype(jnp.uint32)),
+            update=lambda a, s: (a[0], a[1].at[s & 1023].set(
+                (1 + (s & 1)).astype(jnp.uint32))),
             fold=lambda r: (r.pos[0] ^ r.counts[0]) & 1,
         )
         extras["join_build_ms"] = round(t_build * 1e3, 3)
@@ -204,9 +208,9 @@ def main() -> None:
         # 0.04% selectivity, Pallas butterfly fallback when caps trip
         return n / _time_dev(
             scan.filter_sparse, x,
-            # last-bit xor defeats loop hoisting, keeps the value range
-            # and the benchmark selectivity
-            perturb=lambda a, c: (a[0] ^ (c & 1),),
+            # row 0 toggles 1 <-> 10000: count changes by one, the
+            # selectivity and value range stay at benchmark conditions
+            update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1) * 9999),),
             fold=lambda out: (out[0][0] ^ out[1]) & 1,
         )
 
@@ -226,10 +230,11 @@ def main() -> None:
             rng.integers(1, 10000, n, endpoint=True).astype(np.int32),
             device,
         )
-        fn = reduce_ops.reduce_sum_pallas if on_accel else (
-            reduce_ops.reduce_sum_xla
+        t = _time_dev(
+            lambda v: reduce_ops.reduce_sum_xla(v).reshape(1), x,
+            update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
+            fold=lambda o: (o[0] & 1).astype(jnp.int32),
         )
-        t = _time_op(jax.jit(fn), x)
         extras["reduce_rows_per_s"] = round(n / t)
         extras["reduce_roofline_frac"] = round(
             (n / t) / (bw / BYTES_PER_ROW["reduce"]), 4
@@ -274,6 +279,9 @@ def main() -> None:
         extras["slab_probe_hit50_2p24_ms"] = round(t_probe * 1e3, 2)
         extras["slab_probe_hit50_rows_per_s"] = round(n / t_probe)
 
+        # free the slab table before the 256 MB cuckoo build (the two
+        # structures together exhausted device memory in the first run)
+        del tbl
         ht_size = 4 * n
         max_iters = 100_000
         t0 = time.time()

@@ -75,10 +75,15 @@ def reduce_sum_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 
 
 def reduce_sum(x: jnp.ndarray) -> jnp.ndarray:
-    """Best engine for the backend (trace-time choice)."""
-    if jax.default_backend() == "cpu":
-        return reduce_sum_xla(x)
-    return reduce_sum_pallas(x)
+    """Best engine for the backend (trace-time choice).
+
+    Round 4's honest device-looped timing INVERTED the round-1 queue-k
+    verdict: XLA's fused reduce runs at the HBM read bound (0.074 ms at
+    2^24 on v5e) while the hand-written Pallas streamer is ~3x slower
+    (0.22 ms) — the old '755 vs 259 GB/s' readings were per-call
+    dispatch artifacts (scripts/measure_r5.py d6/d7,
+    docs/performance.md round 4). XLA everywhere."""
+    return reduce_sum_xla(x)
 
 
 def reduce_oracle(x) -> int:

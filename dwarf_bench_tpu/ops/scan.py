@@ -78,7 +78,7 @@ _BIG = np.int32(0x7FFFFFFF)
     jax.jit,
     static_argnames=(
         "capacity", "chunk", "cap_mc", "cap_single", "cap_melems",
-        "stats_pallas", "interpret",
+        "stats_pallas", "tail_rows", "interpret",
     ),
 )
 def filter_sparse(
@@ -90,6 +90,7 @@ def filter_sparse(
     cap_single: int | None = None,
     cap_melems: int | None = None,
     stats_pallas: bool | None = None,
+    tail_rows: int = 8,
     interpret: bool = False,
 ):
     """Sparsity-adaptive copy_if → (out, count).
@@ -199,7 +200,8 @@ def filter_sparse(
 
         spos_k, sval_k, mids_k, mbase_k, n_single, n_multi = (
             scan_tail_streams(
-                stat, base, thr_i, cap_single, cap_mc, interpret=interpret
+                stat, base, thr_i, cap_single, cap_mc, rows=tail_rows,
+                interpret=interpret
             )
         )
     else:

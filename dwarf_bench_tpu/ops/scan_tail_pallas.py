@@ -42,7 +42,7 @@ _ROWS = 8
 
 
 @partial(
-    jax.jit, static_argnames=("cap_single", "cap_mc", "interpret")
+    jax.jit, static_argnames=("cap_single", "cap_mc", "rows", "interpret")
 )
 def scan_tail_streams(
     stat: jnp.ndarray,
@@ -50,6 +50,7 @@ def scan_tail_streams(
     threshold,
     cap_single: int,
     cap_mc: int,
+    rows: int = 8,
     interpret: bool = False,
 ):
     """``scan_tail_compact`` semantics on the STREAMING carry-buffer
@@ -66,7 +67,7 @@ def scan_tail_streams(
     the _BIG sentinel past n_single, the other columns are garbage past
     their counts."""
     nch = stat.shape[0]
-    block = _ROWS * _TILE
+    block = rows * _TILE
     pad = (-nch) % block
     npad = nch + pad
     nblocks = npad // block
@@ -101,8 +102,8 @@ def scan_tail_streams(
         single = (cnt == 1) & (vsw >= 1) & (vsw <= 255)
         multi = (cnt >= 1) & ~single
         sval = thr_ref[0] - vsw
-        sub = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _TILE), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _TILE), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (rows, _TILE), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _TILE), 1)
         chunk_id = i * block + sub * _TILE + lane
 
         @pl.when(i > 0)
@@ -117,13 +118,13 @@ def scan_tail_streams(
         ):
             compacted, m = _compact_rows_multi(cols, mask, _TILE)
             cnts = [
-                jnp.sum(jnp.where(sub == r, m, 0)) for r in range(_ROWS)
+                jnp.sum(jnp.where(sub == r, m, 0)) for r in range(rows)
             ]
             col_rows = [
                 [
                     jnp.sum(jnp.where(sub == r, comp, 0), axis=0,
                             keepdims=True)
-                    for r in range(_ROWS)
+                    for r in range(rows)
                 ]
                 for comp in compacted
             ]
@@ -198,7 +199,7 @@ def scan_tail_streams(
             count_ref[0] = state_ref[0] + state_ref[1]
             count_ref[1] = state_ref[2] + state_ref[3]
 
-    blockspec = pl.BlockSpec((_ROWS, _TILE), lambda i: (i, 0),
+    blockspec = pl.BlockSpec((rows, _TILE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     outw = npad + block + 256
     outs = pl.pallas_call(

@@ -37,22 +37,31 @@ BYTES_PER_ROW: Dict[str, float] = {
 # Documented ACHIEVABLE bound per operator at the headline bench config on
 # TPU v5e (rows/s) — the dual-bound report next to the BW roofline
 # (round-3 verdict item 7). The BW targets assume scatter/atomics
-# hardware; on TPU several operators are compute-bound by construction
-# and the analysis in docs/performance.md derives these instead:
-#   scan        2^24 rows: chunk-stats read floor + minimal tail ≈ 0.19 ms
-#   radix       2^22 rows: SWAR histogram VPU floor + expansion ≈ 0.44 ms
-#   groupby     2^22 rows, G=64: balanced-digit VPU floor ≈ 0.12 ms
-#   groupby_big 2^20 rows, G=2^16: n·G MXU MAC wall ≈ 1.45 Grows/s
-#   join        2^20+2^20: 1.03 ms pair-sort wall + probe MXU bound
-#   reduce      2^24 rows: pure HBM read (819 GB/s / 4 B)
-# These are v5e numbers (mixed VPU/MXU/BW walls — they do NOT scale with
-# HBM bandwidth alone); revise alongside docs/performance.md.
+# hardware; on TPU several operators are compute-bound by construction.
+# Round-4 recalibration under honest DEVICE-LOOPED timing (the queue-k
+# readings the round-3 bounds came from carried 0.13-0.30 ms of host
+# dispatch — docs/performance.md round 4):
+#   scan        2^24: measured stage floor 0.065 stats + 0.079 tail +
+#               0.034 gather + 0.02 sort + glue ≈ 0.22 ms (the lax.cond
+#               fallback tax ~0.04 sits above it)
+#   radix       2^22: histogram staging wall ~0.26 + expansion 0.16 +
+#               range pass ≈ 0.44 ms
+#   groupby     2^22, G=64: d3 decomposition floor — construction 0.039
+#               + dots 0.066 ≈ 0.105 ms; the ~0.08-0.1 VPU→MXU operand
+#               staging between them has resisted 7 formulations
+#   groupby_big 2^20, G=2^16: n·G int8 MXU MAC wall at the measured
+#               ~2.1e14 MACs/s ≈ 1.7 Grows/s
+#   join        2^20+2^20: 0.868 ms pair-sort (device) + 0.568 probe
+#               core + glue ≈ 1.5 ms
+#   reduce      2^24: pure HBM read (819 GB/s / 4 B)
+# v5e numbers (mixed VPU/MXU/BW walls — they do NOT scale with HBM
+# bandwidth alone); revise alongside docs/performance.md.
 ACHIEVABLE_ROWS_PER_S: Dict[str, float] = {
-    "scan": 88.0e9,
+    "scan": 76.0e9,
     "radix": 9.5e9,
-    "groupby": 35.0e9,
-    "groupby_big": 1.45e9,
-    "join": 0.9e9,
+    "groupby": 40.0e9,
+    "groupby_big": 1.7e9,
+    "join": 0.70e9,
     "reduce": 204.8e9,
 }
 

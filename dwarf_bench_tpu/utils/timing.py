@@ -67,6 +67,41 @@ _MIN_DIFF_S = 0.2  # exec-time spread between depths must dwarf jitter
 _MAX_DEPTH = 100_000
 
 
+def time_device_looped_inplace(fn, *args, update, fold, k: int = 16,
+                               repeats: int = 2) -> float:
+    """``time_device_looped`` with O(1)-cost iteration coupling: the
+    argument arrays ride the fori carry and ``update(args, s)`` pokes a
+    SINGLE element in place (XLA aliases loop-carried buffers), so the
+    per-iteration overhead is ~zero even for 2^24-element inputs.
+
+    The elementwise-perturbation form below is only overhead-free when
+    XLA can fuse the perturbation into the consumer; Pallas kernels
+    materialize their operands, so ``x + (c & 1)`` there costs a full
+    array write (+re-read) per iteration — ~0.08 ms at 2^24, a 30-50%
+    error on the fastest kernels. ``update`` must keep the poked value
+    VALID for the op (e.g. a key within the benchmark range) and must
+    depend on ``s`` (the folded output) so iterations chain."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(kk):
+        @jax.jit
+        def g(*a):
+            def body(i, carry):
+                s, ca = carry
+                out = fn(*ca)
+                s2 = fold(out)
+                return s2, update(ca, s2)
+            s, _ = jax.lax.fori_loop(0, kk, body, (jnp.int32(0), a))
+            return s
+        return g
+
+    g1, gk = make(1), make(k + 1)
+    t1 = min(time_amortized(g1, *args) for _ in range(repeats))
+    tk = min(time_amortized(gk, *args) for _ in range(repeats))
+    return max((tk - t1) / k, 1e-9)
+
+
 def time_device_looped(fn, *args, perturb, fold, k: int = 16,
                        repeats: int = 2) -> float:
     """TRUE per-execution device seconds: run ``fn`` k times inside ONE

@@ -642,6 +642,467 @@ def d3():
           flush=True)
 
 
+def _gb_dbuf_kernel(ga=8, gb=8, rows=32, w=4096):
+    """Double-buffered SWAR groupby: build row r+1's operands into the
+    alternate VMEM scratch set while the MXU dots row r's — breaks the
+    VPU→MXU operand dependency so the units can overlap (d3 found
+    construction 0.039 + dots 0.066 but combined 0.223: the per-row
+    operand staging serializes them)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L7 = np.uint32(0x7F7F7F7F)
+    L8 = np.uint32(0x80808080)
+    M1 = np.uint32(0x01010101)
+    shift = int(np.log2(gb))
+    sentinel = np.uint32(ga << shift)
+
+    def kernel(k_ref, v_ref, out_ref, acc_lo, acc_hi,
+               oa0, oa1, bl0, bl1, bh0, bh1):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_lo[...] = jnp.zeros((ga, gb), jnp.int32)
+            acc_hi[...] = jnp.zeros((ga, gb), jnp.int32)
+
+        pinv_a = ~(
+            jax.lax.broadcasted_iota(jnp.uint32, (ga // 4, w), 0)
+            * np.uint32(4 * 0x01010101) + np.uint32(0x03020100)
+        )
+        pinv_b = ~(
+            jax.lax.broadcasted_iota(jnp.uint32, (gb // 4, w), 0)
+            * np.uint32(4 * 0x01010101) + np.uint32(0x03020100)
+        )
+        dims = (((1,), (1,)), ((), ()))
+        oas, bls, bhs = (oa0, oa1), (bl0, bl1), (bh0, bh1)
+
+        def build_into(r, b):
+            row = k_ref[r, :].reshape(1, w)
+            val = v_ref[r, :].reshape(1, w)
+            bad = row.astype(jnp.uint32) >= jnp.uint32(int(sentinel))
+            hi = jnp.where(bad, np.int32(127), row >> shift)
+            lo = row & (gb - 1)
+            za = (jnp.broadcast_to(hi.astype(jnp.uint32) * M1,
+                                   (ga // 4, w)) ^ pinv_a) - L7 & L8
+            zb = (jnp.broadcast_to(lo.astype(jnp.uint32) * M1,
+                                   (gb // 4, w)) ^ pinv_b) - L7 & L8
+            q = (zb >> 7) & M1
+            wlo = q * jnp.broadcast_to((val & 0x7F).astype(jnp.uint32),
+                                       (gb // 4, w))
+            whi = q * jnp.broadcast_to((val >> 7).astype(jnp.uint32),
+                                       (gb // 4, w))
+            oas[b][...] = pltpu.bitcast(za, jnp.int8)
+            bls[b][...] = pltpu.bitcast(wlo, jnp.int8)
+            bhs[b][...] = pltpu.bitcast(whi, jnp.int8)
+
+        build_into(0, 0)
+        for r in range(rows):
+            if r + 1 < rows:
+                build_into(r + 1, (r + 1) % 2)
+            b = r % 2
+            acc_lo[...] -= jax.lax.dot_general(
+                oas[b][...], bls[b][...], dimension_numbers=dims,
+                preferred_element_type=jnp.int32) >> 7
+            acc_hi[...] -= jax.lax.dot_general(
+                oas[b][...], bhs[b][...], dimension_numbers=dims,
+                preferred_element_type=jnp.int32) >> 7
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            out_ref[...] = acc_lo[...] + (acc_hi[...] << 7)
+
+    def run(k, v):
+        n = k.shape[0]
+        block = rows * w
+        pad = (-n) % block
+        kp = jnp.pad(k.astype(jnp.uint32), (0, pad),
+                     constant_values=sentinel).astype(jnp.int32)
+        vp = jnp.pad(v.astype(jnp.int32), (0, pad))
+        out = pl.pallas_call(
+            kernel,
+            grid=((n + pad) // block,),
+            in_specs=[
+                pl.BlockSpec((rows, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ga, gb), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((ga, gb), jnp.int32),
+                pltpu.VMEM((ga, gb), jnp.int32),
+                pltpu.VMEM((ga, w), jnp.int8),
+                pltpu.VMEM((ga, w), jnp.int8),
+                pltpu.VMEM((gb, w), jnp.int8),
+                pltpu.VMEM((gb, w), jnp.int8),
+                pltpu.VMEM((gb, w), jnp.int8),
+                pltpu.VMEM((gb, w), jnp.int8),
+            ],
+        )(kp.reshape(-1, w), vp.reshape(-1, w))
+        return out.reshape(-1)
+
+    return run
+
+
+def d4():
+    """Double-buffered operand staging: does breaking the VPU→MXU
+    dependency recover the d3 component sum (0.039 + 0.066)?"""
+    from dwarf_bench_tpu.ops.groupby_pallas import groupby_small_pallas
+
+    rng = np.random.default_rng(0)
+    n, G = 1 << 22, 64
+    kk = jnp.asarray(rng.integers(0, G, n).astype(np.uint32))
+    vv = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    )
+    fn = _gb_dbuf_kernel()
+    try:
+        out = fn(kk, vv)
+        ref = groupby_small_pallas(kk, vv, G)
+        mm = _mismatches(out[:G].astype(jnp.uint32), ref)
+        t = _looped(lambda v: fn(kk, v)[:G], vv, 16,
+                    lambda v, c: v + (c & 1).astype(jnp.uint32),
+                    lambda o: (o[0] & 1).astype(jnp.int32))
+        print(f"d4 gb double-buffered DEVICE: {t*1e3:.3f} ms = "
+              f"{n/t/1e9:.1f} G (mism {mm})", flush=True)
+    except Exception as e:
+        print(f"d4 gb double-buffered FAILED {type(e).__name__}: "
+              f"{str(e)[:150]}", flush=True)
+
+
+def d5():
+    """Scan tail piece costs at 2^24, device-looped: stats (0.091 known),
+    tail_streams, the multi-row gather + melems compact, the ordering
+    sort at current vs halved caps, and emit. Sizes the VERDICT item-4
+    fold and the cap tuning."""
+    from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+    from dwarf_bench_tpu.ops.scan_tail_pallas import scan_tail_streams
+    from dwarf_bench_tpu.ops.compact_pallas import (
+        compact_mask_pallas,
+        emit_prefix_pallas,
+    )
+    from dwarf_bench_tpu.ops.scan import filter_sparse
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    x = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+    x2 = jnp.asarray(x.reshape(-1, 128))
+    thr = 5
+    stat, base = chunk_stats_xla(x2, thr)
+    cap_single, cap_mc, cap_melems = 16384, 512, 4096
+
+    t = _looped(
+        lambda s: scan_tail_streams(s, base, thr, cap_single, cap_mc)[0][:1],
+        stat, 16,
+        lambda s, c: s + (c & 1) * 512,  # nudges a cnt by 1
+        lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d5 tail_streams DEVICE: {t*1e3:.3f} ms", flush=True)
+
+    # ordering sort at current and halved cap_single
+    for cs in (16384, 8192):
+        pos = jnp.asarray(
+            rng.integers(0, n, cs + cap_melems).astype(np.int32))
+        val = jnp.asarray(
+            rng.integers(0, 10, cs + cap_melems).astype(np.int32))
+        t = _looped(
+            lambda p: jax.lax.sort((p, val), num_keys=1,
+                                   is_stable=False)[1][:1],
+            pos, 16,
+            lambda p, c: p ^ (c & 1),
+            lambda o: (o[0] & 1).astype(jnp.int32))
+        print(f"d5 ordering sort cap={cs}+{cap_melems} DEVICE: "
+              f"{t*1e3:.3f} ms", flush=True)
+
+    # multi-row gather + melems compact (the phase-B middle)
+    xp = jnp.asarray(x)
+    mids = jnp.asarray(
+        np.sort(rng.choice(n // 128, cap_mc, replace=False)).astype(
+            np.int32))
+
+    def mid_fn(mids_in):
+        rows = xp.reshape(-1, 128)[mids_in]
+        gm = rows < thr
+        grank = jnp.cumsum(gm.astype(jnp.int32), axis=1) - gm
+        gpos = jnp.where(gm, grank, np.int32(0x7FFFFFFF))
+        (mpos, mval), _ = compact_mask_pallas(
+            gm.reshape(-1), (gpos.reshape(-1),
+                             rows.reshape(-1).astype(jnp.int32)),
+            capacity=cap_melems)
+        return mpos[:1]
+
+    t = _looped(mid_fn, mids, 16,
+                lambda m, c: jnp.minimum(m + (c & 1), n // 128 - 1),
+                lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d5 gather+melems-compact DEVICE: {t*1e3:.3f} ms", flush=True)
+
+    # emit at capacity 2^24
+    sv = jnp.asarray(rng.integers(0, 5, 20480).astype(np.int32))
+    t = _looped(lambda s: emit_prefix_pallas(s, n)[:1], sv, 16,
+                lambda s, c: s + (c & 1),
+                lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d5 emit_prefix DEVICE: {t*1e3:.3f} ms", flush=True)
+
+    # e2e with halved cap_single (the cheap cap-tuning candidate)
+    xs = jnp.asarray(x)
+    for cs in (16384, 8192):
+        t = _looped(
+            lambda v: filter_sparse(v, cap_single=cs)[0][:1], xs, 8,
+            lambda v, c: v ^ (c & 1),
+            lambda o: (o[0] & 1).astype(jnp.int32))
+        print(f"d5 filter_sparse cap_single={cs} DEVICE: {t*1e3:.3f} ms "
+              f"= {n/t/1e9:.1f} G", flush=True)
+
+
+def d6():
+    """Reduce device-looped truth (the round-1 '755 GB/s' queue-k claim
+    needs re-verification under honest timing) + the cuckoo 2^24 build
+    failure repro from the bench extras."""
+    from dwarf_bench_tpu.ops import reduce as reduce_ops
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    x = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.int32))
+    for name, fn in (("pallas", reduce_ops.reduce_sum_pallas),
+                     ("xla", reduce_ops.reduce_sum_xla)):
+        t = _looped(lambda v: fn(v).reshape(1), x, 16,
+                    lambda v, c: v + (c & 1),
+                    lambda o: (o[0] & 1).astype(jnp.int32))
+        print(f"d6 reduce {name} DEVICE: {t*1e3:.3f} ms = "
+              f"{n*4/t/1e9:.0f} GB/s", flush=True)
+
+    from dwarf_bench_tpu.ops import cuckoo
+    keys = rng.permutation(1 << 25)[: 1 << 24].astype(np.uint32) + 1
+    dk = jnp.asarray(keys)
+    try:
+        tbl = cuckoo.build(dk, 4 << 24, np.uint32(1), np.uint32(2),
+                           100_000)
+        conv = bool(np.asarray(tbl.success))
+        print(f"d6 cuckoo 2^24 build: rounds={int(np.asarray(tbl.rounds))}"
+              f" converged={conv}", flush=True)
+    except Exception as e:
+        print(f"d6 cuckoo 2^24 build FAILED {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+
+def d7():
+    """Re-measure everything with the O(1) in-place iteration coupling
+    (time_device_looped_inplace): the elementwise perturbation of d1/d2
+    materializes a full copy when the consumer is a Pallas kernel, so
+    those readings over-report by up to ~0.08 ms at 2^24. Includes a
+    control (trivial fn on a 2^24 carry) to verify XLA aliases the
+    loop-carried buffer."""
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
+    from dwarf_bench_tpu.ops.sort import sort_auto
+    from dwarf_bench_tpu.ops.scan import filter_sparse
+    from dwarf_bench_tpu.ops import csr_join, groupby
+    from dwarf_bench_tpu.ops import reduce as reduce_ops
+    from dwarf_bench_tpu.ops.hist_pallas import histogram_16k_swar_pallas
+    from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+    from dwarf_bench_tpu.ops.mxu_gather import gather_16k_rel
+    from dwarf_bench_tpu.ops.primitives import sort_by_key
+
+    rng = np.random.default_rng(0)
+    n24 = 1 << 24
+    x24 = jnp.asarray(
+        rng.integers(1, 10000, n24, endpoint=True).astype(np.int32))
+
+    # control: loop-carry aliasing (should be ~0 ms/iter)
+    t = time_device_looped_inplace(
+        lambda x: x[:1], x24,
+        update=lambda a, s: (a[0].at[0].set(1 + (s & 1)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d7 CONTROL trivial fn, 2^24 carry: {t*1e3:.3f} ms/iter",
+          flush=True)
+
+    t = time_device_looped_inplace(
+        filter_sparse, x24,
+        update=lambda a, s: (a[0].at[0].set(1 + (s & 1) * 9999),),
+        fold=lambda o: (o[0][0] ^ o[1]) & 1)
+    print(f"d7 filter_sparse 2^24: {t*1e3:.3f} ms = {n24/t/1e9:.1f} G",
+          flush=True)
+
+    t = time_device_looped_inplace(
+        lambda x: chunk_stats_xla(x, 5)[0], x24.reshape(-1, 128),
+        update=lambda a, s: (a[0].at[0, 0].set(1 + (s & 1)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d7 chunk_stats_xla 2^24: {t*1e3:.3f} ms", flush=True)
+
+    n22 = 1 << 22
+    x22 = jnp.asarray(
+        rng.integers(1, 10000, n22, endpoint=True).astype(np.int32))
+    t = time_device_looped_inplace(
+        sort_auto, x22,
+        update=lambda a, s: (a[0].at[0].set(1 + (s & 1)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d7 sort_auto 2^22: {t*1e3:.3f} ms = {n22/t/1e9:.2f} G",
+          flush=True)
+    t = time_device_looped_inplace(
+        lambda x: histogram_16k_swar_pallas(x, hi_bins=80), x22,
+        update=lambda a, s: (a[0].at[0].set(1 + (s & 1)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d7 hist hi80 2^22: {t*1e3:.3f} ms", flush=True)
+
+    kk = jnp.asarray(rng.integers(0, 64, n22).astype(np.uint32))
+    vv = jnp.asarray(
+        rng.integers(1, 10000, n22, endpoint=True).astype(np.uint32))
+    t = time_device_looped_inplace(
+        lambda k, v: groupby.groupby_sum(k, v, 64, vals_below_2p14=True),
+        kk, vv,
+        update=lambda a, s: (a[0], a[1].at[0].set(
+            (1 + (s & 1)).astype(jnp.uint32))),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d7 groupby G=64 2^22: {t*1e3:.3f} ms = {n22/t/1e9:.1f} G",
+          flush=True)
+
+    for name, fn in (("pallas", reduce_ops.reduce_sum_pallas),
+                     ("xla", reduce_ops.reduce_sum_xla)):
+        t = time_device_looped_inplace(
+            lambda v: fn(v).reshape(1), x24,
+            update=lambda a, s: (a[0].at[0].set(1 + (s & 1)),),
+            fold=lambda o: (o[0] & 1).astype(jnp.int32))
+        print(f"d7 reduce {name} 2^24: {t*1e3:.3f} ms = "
+              f"{n24 * 4 / t / 1e9:.0f} GB/s", flush=True)
+
+    m = 1 << 20
+    A = rng.integers(1, 10000, m, endpoint=True).astype(np.uint32)
+    B = rng.integers(1, 10000, m, endpoint=True).astype(np.uint32)
+    tbl = csr_join.build_dense(jnp.asarray(A))
+    minv = int(np.asarray(tbl.minv))
+    ki = jnp.asarray((B.astype(np.int64) - minv).astype(np.int32))
+    t = time_device_looped_inplace(
+        lambda q: gather_16k_rel(tbl.packed3, tbl.base128, q)[0], ki,
+        update=lambda a, s: (a[0].at[0].set(1 + (s & 1)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d7 probe XLA rel 2^20: {t*1e3:.3f} ms", flush=True)
+    k16 = jnp.asarray(rng.integers(0, 10000, m).astype(np.uint16))
+    ids = jnp.asarray(np.arange(m, dtype=np.uint32))
+    t = time_device_looped_inplace(
+        lambda kq: sort_by_key(kq, ids, stable=False)[1][:1], k16,
+        update=lambda a, s: (a[0].at[0].set(
+            (1 + (s & 1)).astype(jnp.uint16)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d7 pair sort 2^20: {t*1e3:.3f} ms", flush=True)
+
+
+def d8():
+    """Scan glue hunt: stage the fused sparse path (no lax.cond) and
+    time cumulative prefixes — the d5/d7 pieces sum to ~0.165 but the
+    e2e reads 0.263; find the missing ~0.1."""
+    from functools import partial as _p
+
+    from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+    from dwarf_bench_tpu.ops.scan_tail_pallas import scan_tail_streams
+    from dwarf_bench_tpu.ops.compact_pallas import (
+        compact_mask_pallas,
+        emit_prefix_pallas,
+    )
+    from dwarf_bench_tpu.ops.scan import filter_sparse
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
+
+    n = 1 << 24
+    thr = 5
+    cap_single, cap_mc, cap_melems = 16384, 512, 4096
+    chunk = 128
+    BIG = np.int32(0x7FFFFFFF)
+
+    def pipeline(stage, x):
+        nch = n // chunk
+        stat, base = chunk_stats_xla(x.reshape(nch, chunk), thr)
+        if stage == 0:
+            return stat[:1]
+        spos, sval, mids, mbase, ns, nm = scan_tail_streams(
+            stat, base, thr, cap_single, cap_mc
+        )
+        if stage == 1:
+            return spos[:1]
+        total = (base[-1] + (stat[-1] >> 9)).astype(jnp.int32)
+        n_melems = total - ns
+        iota_m = jnp.arange(cap_mc, dtype=jnp.int32)
+        valid_m = iota_m < nm
+        midsafe = jnp.where(valid_m, mids, 0)
+        rows = x.reshape(nch, chunk)[midsafe]
+        gm = (rows < thr) & valid_m[:, None]
+        grank = jnp.cumsum(gm.astype(jnp.int32), axis=1) - gm
+        gpos = jnp.where(gm, mbase[:, None] + grank, BIG)
+        (mpos, mval), _ = compact_mask_pallas(
+            gm.reshape(-1),
+            (gpos.reshape(-1), rows.reshape(-1).astype(jnp.int32)),
+            capacity=cap_melems,
+        )
+        if stage == 2:
+            return mpos[:1]
+        iota_e = jnp.arange(cap_melems, dtype=jnp.int32)
+        mpos = jnp.where(iota_e < n_melems, mpos, BIG)
+        all_pos = jnp.concatenate([spos, mpos])
+        all_val = jnp.concatenate([sval, mval])
+        _, svals = jax.lax.sort(
+            (all_pos, all_val), num_keys=1, is_stable=False
+        )
+        if stage == 3:
+            return svals[:1]
+        out = emit_prefix_pallas(svals[: cap_single + cap_melems], n)
+        return out[:1]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.int32))
+    for stage in (0, 1, 2, 3, 4):
+        t = time_device_looped_inplace(
+            _p(pipeline, stage), x,
+            update=lambda a, s: (
+                a[0].at[s & 1023].set(1 + (s & 1) * 9999),),
+            fold=lambda o: (o[0] & 1).astype(jnp.int32))
+        print(f"d8 pipeline stage<={stage}: {t*1e3:.3f} ms", flush=True)
+    t = time_device_looped_inplace(
+        filter_sparse, x,
+        update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1) * 9999),),
+        fold=lambda o: (o[0][0] ^ o[1]) & 1)
+    print(f"d8 filter_sparse e2e (with cond): {t*1e3:.3f} ms", flush=True)
+
+
+def d9():
+    """Scan levers: (a) the lax.cond tax — same pipeline with the
+    fallback branch replaced by a second copy of the fast branch vs the
+    real butterfly fallback; (b) tail rows variants; (c) e2e with
+    tail_rows=32."""
+    from functools import partial as _p
+
+    from dwarf_bench_tpu.ops.chunk_stats import chunk_stats_xla
+    from dwarf_bench_tpu.ops.scan_tail_pallas import scan_tail_streams
+    from dwarf_bench_tpu.ops.scan import filter_sparse
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    x = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.int32))
+    x2 = x.reshape(-1, 128)
+    stat, base = chunk_stats_xla(x2, 5)
+
+    for rows in (8, 16, 32):
+        fn = _p(scan_tail_streams, threshold=5, cap_single=16384,
+                cap_mc=512, rows=rows)
+        t = time_device_looped_inplace(
+            lambda s: fn(s, base)[0][:1], stat,
+            update=lambda a, s: (a[0].at[s & 1023].set(512 * (1 + (s & 1))),),
+            fold=lambda o: (o[0] & 1).astype(jnp.int32))
+        print(f"d9 tail_streams rows={rows}: {t*1e3:.3f} ms", flush=True)
+
+    for tr in (8, 32):
+        t = time_device_looped_inplace(
+            _p(filter_sparse, tail_rows=tr), x,
+            update=lambda a, s: (
+                a[0].at[s & 1023].set(1 + (s & 1) * 9999),),
+            fold=lambda o: (o[0][0] ^ o[1]) & 1)
+        print(f"d9 filter_sparse tail_rows={tr}: {t*1e3:.3f} ms = "
+              f"{n/t/1e9:.1f} G", flush=True)
+
+
 def main():
     from dwarf_bench_tpu.common.device import (
         enable_persistent_compile_cache,

@@ -1,0 +1,90 @@
+"""Gather-free sort-merge bulk probe (ops/merge_lookup) vs oracles and
+vs the tile/2-probe engines it replaces at bulk sizes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dwarf_bench_tpu.ops.merge_lookup import merge_lookup, sort_table
+
+
+@pytest.mark.parametrize("nt,nq", [(100, 1000), (5000, 5000), (1, 7)])
+def test_merge_lookup_matches_dict(rng, nt, nq):
+    keys = rng.choice(1 << 20, nt, replace=False).astype(np.uint32)
+    vals = rng.integers(1, 10000, nt).astype(np.uint32)
+    # ~50% hits, plus edge keys 0 / max
+    q = np.concatenate(
+        [rng.permutation(keys)[: nq // 2],
+         rng.integers(1 << 21, 1 << 22, nq - nq // 2).astype(np.uint32)]
+    )
+    rng.shuffle(q)
+    sk, sv = sort_table(jnp.asarray(keys), jnp.asarray(vals))
+    found, val = merge_lookup(sk, sv, jnp.asarray(q))
+    d = dict(zip(keys.tolist(), vals.tolist()))
+    exp_f = np.array([int(k) in d for k in q])
+    exp_v = np.array([d.get(int(k), 0) for k in q], np.uint32)
+    assert np.array_equal(np.asarray(found), exp_f)
+    assert np.array_equal(np.asarray(val), exp_v)
+
+
+def test_merge_lookup_key_zero_and_empty():
+    keys = np.array([0, 5, 0xFFFFFFFE], np.uint32)
+    vals = np.array([11, 22, 33], np.uint32)
+    q = np.array([0, 5, 7, 0xFFFFFFFF, 0xFFFFFFFE, 0], np.uint32)
+    sk, sv = sort_table(jnp.asarray(keys), jnp.asarray(vals))
+    found, val = merge_lookup(sk, sv, jnp.asarray(q))
+    assert list(np.asarray(found)) == [True, True, False, False, True,
+                                       True]
+    assert list(np.asarray(val)) == [11, 22, 0, 0, 33, 11]
+
+
+def test_merge_lookup_empty_padded_table(rng):
+    # EMPTY-padded sorted table (free slots) must never match
+    keys = np.array([3, 9, 0xFFFFFFFF, 0xFFFFFFFF], np.uint32)
+    vals = np.array([1, 2, 0, 0], np.uint32)
+    q = np.array([3, 9, 0xFFFFFFFF, 4], np.uint32)
+    found, val = merge_lookup(jnp.asarray(keys), jnp.asarray(vals),
+                              jnp.asarray(q))
+    assert list(np.asarray(found)) == [True, True, False, False]
+
+
+def test_bucket_find_engines_agree(rng):
+    """Tile-scan and merge engines give identical (found, val) on
+    distinct keys (the CPU path uses tiles; force the merge engine by
+    calling merge_lookup on the table's sorted copy)."""
+    from dwarf_bench_tpu.ops import bucket_hash
+
+    n = 4096
+    keys = rng.choice(1 << 18, n, replace=False).astype(np.uint32)
+    vals = rng.integers(1, 10000, n).astype(np.uint32)
+    nb = bucket_hash.calculate_buckets_count(n)
+    t = bucket_hash.build(jnp.asarray(keys), jnp.asarray(vals),
+                          num_buckets=nb)
+    q = np.concatenate(
+        [keys[: n // 2],
+         (keys[n // 2 :] + np.uint32(1 << 20))]
+    )
+    f_tile, v_tile = bucket_hash.find(t, jnp.asarray(q))
+    f_m, v_m = merge_lookup(t.sorted_keys, t.sorted_vals, jnp.asarray(q))
+    assert np.array_equal(np.asarray(f_tile), np.asarray(f_m))
+    got_tile = np.where(np.asarray(f_tile), np.asarray(v_tile), 0)
+    got_m = np.where(np.asarray(f_m), np.asarray(v_m), 0)
+    assert np.array_equal(got_tile, got_m)
+
+
+def test_cuckoo_has_engines_agree(rng):
+    from dwarf_bench_tpu.ops import cuckoo
+
+    n = 2048
+    keys = rng.choice(1 << 18, n, replace=False).astype(np.uint32) + 1
+    tbl = cuckoo.build(jnp.asarray(keys), 4 * n, np.uint32(1),
+                       np.uint32(2), 10000)
+    assert bool(tbl.success)
+    q = np.concatenate(
+        [keys[: n // 2], keys[n // 2 :] + np.uint32(1 << 20)]
+    )
+    got = np.asarray(cuckoo.has(tbl, jnp.asarray(q)))  # 2-probe on CPU
+    f_m, _ = merge_lookup(
+        tbl.keys_sorted, jnp.zeros_like(tbl.keys_sorted), jnp.asarray(q)
+    )
+    assert np.array_equal(got, np.asarray(f_m))
