@@ -283,7 +283,7 @@ def main() -> None:
         # structures together exhausted device memory in the first run)
         del tbl
         ht_size = 4 * n
-        max_iters = 100_000
+        max_iters = 256  # rounds cap; host re-seeds on non-convergence
         t0 = time.time()
         attempt = 0
         while True:  # host rebuild loop (cuckoo_hash_build.cpp:43-93)

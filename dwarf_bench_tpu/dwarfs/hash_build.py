@@ -113,7 +113,18 @@ class CuckooHashBuild(TpuDwarf):
         keys = make_unique_random(buf_size, seed=derive_seed(opts.seed, buf_size, 0))
         device = self.device(opts)
         ht_size = 4 * buf_size  # cuckoo_hash_build.cpp:14
-        max_iters = min(buf_size, 100_000)  # cuckoo_hashtable.hpp:45
+        # The reference bounds each key's EVICTION CHAIN at
+        # min(input, 1e5) steps (cuckoo_hashtable.hpp:45). In the
+        # bulk-synchronous re-derivation one ROUND advances every
+        # unresident key's chain by one step, so rounds ≈ the longest
+        # chain — but a round costs O(n) device work, and an unlucky
+        # seed pair spinning toward 1e5 rounds runs a quasi-infinite
+        # device program (the TPU worker kills it: the round-4 "worker
+        # crashed" fault at 2^22+). 256 rounds is far past convergence
+        # at 4x slots (measured ~18-20 at 2^22-2^24); non-convergence
+        # reports success=False and the host loop re-seeds, exactly the
+        # reference's failure-detection semantics.
+        max_iters = min(buf_size, 256)
 
         for it in range(opts.iterations):
             dev_keys = self.put(device, keys)

@@ -35,35 +35,37 @@ def merge_lookup(sorted_keys, sorted_vals, queries):
     nt = sorted_keys.shape[0]
     nq = queries.shape[0]
     q = queries.astype(jnp.uint32)
-    keys_all = jnp.concatenate([sorted_keys.astype(jnp.uint32), q])
-    vals_all = jnp.concatenate(
-        [sorted_vals.astype(jnp.uint32), jnp.zeros((nq,), jnp.uint32)]
-    )
-    # class column: 0 = table row, 1 = query — table rows sort FIRST
-    # among equal keys, so the scan fills queries from their key's row
-    cls = jnp.concatenate(
-        [jnp.zeros((nt,), jnp.int32), jnp.ones((nq,), jnp.int32)]
-    )
+    tv = sorted_vals.astype(jnp.uint32)
+    tk = sorted_keys.astype(jnp.uint32)
+    # DELTA encoding makes the forward-fill a plain cumsum: table rows
+    # keep their relative (pre-sorted) order under the stable merge
+    # sort, so attaching dv_i = val_i - val_{i-1} (mod 2^32; dv_0 =
+    # val_0) to each table row and 0 to queries telescopes —
+    # cumsum(deltas) at any row = the last preceding table row's value,
+    # exactly, under uint32 wrap. (The general segmented-fill
+    # ``associative_scan`` unrolls ~25 slice levels at 2^25 and OOM-kills
+    # the remote compile server; cumsum/cummax lower compactly.)
+    if nt > 0:
+        dv = (tv - jnp.roll(tv, 1)).at[0].set(tv[0])
+    else:
+        dv = tv
+    keys_all = jnp.concatenate([tk, q])
+    vals_all = jnp.concatenate([dv, jnp.zeros((nq,), jnp.uint32)])
+    # idx doubles as the class marker (-1 = table row); the STABLE sort
+    # keeps table rows (first in the concat) first among equal keys
     idx = jnp.concatenate(
         [jnp.full((nt,), -1, jnp.int32),
          jnp.arange(nq, dtype=jnp.int32)]
     )
-    sk, sc, sv, si = jax.lax.sort(
-        (keys_all, cls, vals_all, idx), num_keys=2, is_stable=False
+    sk, sv, si = jax.lax.sort(
+        (keys_all, vals_all, idx), num_keys=1, is_stable=True
     )
-    is_src = sc == 0
-
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb == 1, vb, va)
-
-    ff, fv = jax.lax.associative_scan(
-        comb, (is_src.astype(jnp.int32), sv)
-    )
+    is_src = si < 0
+    fv = jnp.cumsum(sv, dtype=jnp.uint32)  # wraps mod 2^32: telescopes
+    nsrc = jnp.cumsum(is_src.astype(jnp.int32))
     carry_key = jax.lax.cummax(jnp.where(is_src, sk, jnp.uint32(0)))
     found = (
-        (~is_src) & (ff == 1) & (carry_key == sk) & (sk != EMPTY)
+        (~is_src) & (nsrc > 0) & (carry_key == sk) & (sk != EMPTY)
     )
     val = jnp.where(found, fv, jnp.uint32(0))
     # restore query order (queries carry si >= 0; table rows sort first)

@@ -189,15 +189,22 @@ def sort_auto(x: jnp.ndarray, force_dispatch: bool = False) -> jnp.ndarray:
     # max - min in uint32 is exact for any int32 pair (the true difference
     # is in [0, 2^32)); int64 is unavailable without x64 mode.
     diff = maxv.astype(jnp.uint32) - minv.astype(jnp.uint32)
-    return jax.lax.cond(
+    # ONE lax.switch instead of two nested lax.cond: each cond construct
+    # costs ~0.03-0.04 ms of branch-output unification on a 16 MB output
+    # (the scan pipeline's measured cond tax — docs/performance.md round
+    # 4), so flattening the dispatch tree halves the tax.
+    branch = jnp.where(
         diff < jnp.uint32(_NARROW_BINS),
-        lambda v: _sort_counting_shifted(v, minv, hi_bins=80),
-        lambda v: jax.lax.cond(
-            diff < jnp.uint32(1 << _RANGE_BITS),
-            lambda w: _sort_counting_shifted(w, minv, hi_bins=128),
-            lambda w: jax.lax.sort(w),
-            v,
-        ),
+        0,
+        jnp.where(diff < jnp.uint32(1 << _RANGE_BITS), 1, 2),
+    )
+    return jax.lax.switch(
+        branch,
+        [
+            lambda v: _sort_counting_shifted(v, minv, hi_bins=80),
+            lambda v: _sort_counting_shifted(v, minv, hi_bins=128),
+            jax.lax.sort,
+        ],
         x,
     )
 

@@ -16,6 +16,7 @@ results/sweeps/report_hash_hit50.csv with a side log carrying build
 convergence (cuckoo attempts/rounds) and rates.
 
 Usage: python scripts/benchmark_hash_hit50.py [log2_n (default 24)]
+       [phase: all|slab|cuckoo (default all)]
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ import numpy as np
 
 def main() -> None:
     lg = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    phase = sys.argv[2] if len(sys.argv) > 2 else "all"
     n = 1 << lg
     import jax
 
@@ -91,6 +93,17 @@ def main() -> None:
         return ok
 
     # ---- slab (bucketized) ------------------------------------------
+    if phase in ("all", "slab"):
+        _slab(n, dk, dv, dp, half, validate, log, csv_row, timed,
+              time_amortized, bucket_hash, jax)
+    if phase in ("all", "cuckoo"):
+        _cuckoo(n, dk, dp, half, validate, log, csv_row, timed,
+                time_amortized, cuckoo, jax, np)
+    log("=== hash hit50 done ===")
+
+
+def _slab(n, dk, dv, dp, half, validate, log, csv_row, timed,
+          time_amortized, bucket_hash, jax):
     nb = bucket_hash.calculate_buckets_count(n)
     build_fn = jax.jit(
         lambda k, v: bucket_hash.build(k, v, num_buckets=nb)
@@ -110,9 +123,17 @@ def main() -> None:
         log(f"slab probe iter {it}: host {t_host*1e3:.1f} ms, "
             f"kernel {t_k*1e3:.3f} ms = {n/t_k/1e9:.3f} Grows/s")
 
-    # ---- cuckoo ------------------------------------------------------
+
+def _cuckoo(n, dk, dp, half, validate, log, csv_row, timed,
+            time_amortized, cuckoo, jax, np):
+    import time
+
     ht_size = 4 * n  # cuckoo_hash_build.cpp:14
-    max_iters = min(n, 100_000)  # cuckoo_hashtable.hpp:45
+    # rounds cap, NOT the reference's per-key chain bound: one
+    # bulk-synchronous round costs O(n) device work and a runaway seed
+    # pair would spin the while_loop until the TPU worker kills it
+    # (dwarfs/hash_build.py has the full note); re-seed on failure
+    max_iters = min(n, 256)
     t0 = time.perf_counter()
     attempt = 0
     while True:  # host rebuild loop (cuckoo_hash_build.cpp:43-93)
@@ -142,7 +163,6 @@ def main() -> None:
         csv_row(t_host * 1e3, t_k * 1e3)
         log(f"cuckoo probe iter {it}: host {t_host*1e3:.1f} ms, "
             f"kernel {t_k*1e3:.3f} ms = {n/t_k/1e9:.3f} Grows/s")
-    log("=== hash hit50 done ===")
 
 
 if __name__ == "__main__":

@@ -1103,6 +1103,45 @@ def d9():
               f"{n/t/1e9:.1f} G", flush=True)
 
 
+def d10():
+    """Radix cond-tax: the raw counting pipeline (no dispatch) vs the
+    lax.switch sort_auto (1 construct) — against the two-nested-cond
+    0.505 ms record. Plus full CPU-oracle revalidation of the switch
+    dispatch on device at small sizes."""
+    from dwarf_bench_tpu.ops.sort import (
+        _sort_counting_shifted,
+        sort_auto,
+    )
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
+
+    rng = np.random.default_rng(0)
+    n = 1 << 22
+    x = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.int32))
+    t = time_device_looped_inplace(
+        lambda v: _sort_counting_shifted(v, jnp.min(v), hi_bins=80), x,
+        update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d10 counting pipeline (no dispatch): {t*1e3:.3f} ms "
+          f"= {n/t/1e9:.2f} G", flush=True)
+    t = time_device_looped_inplace(
+        sort_auto, x,
+        update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d10 sort_auto (lax.switch): {t*1e3:.3f} ms = "
+          f"{n/t/1e9:.2f} G", flush=True)
+    for xs in (
+        rng.integers(1, 10000, 25600, endpoint=True).astype(np.int32),
+        np.full(25600, 7, np.int32),
+        rng.integers(-(2**28), 2**28, 4096).astype(np.int32),  # lax.sort
+        rng.integers(0, (1 << 14) - 1, 4096).astype(np.int32),  # hi128
+    ):
+        got = np.asarray(sort_auto(jnp.asarray(xs)))
+        assert np.array_equal(got, np.sort(xs)), xs[:4]
+    print("d10 switch dispatch small/degenerate device validation OK",
+          flush=True)
+
+
 def main():
     from dwarf_bench_tpu.common.device import (
         enable_persistent_compile_cache,
