@@ -27,9 +27,32 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .hashing import murmur3_32
 from .hashtable import EMPTY
+
+# Bijective key premix for the SECOND hash function (round 4). Seeding
+# the same murmur with two seeds does NOT give independent functions:
+# the seed enters as the initial state of a bijective pipeline, so
+# h_s(k) = G(s ^ m(k)) with G a 32-bit bijection — for ANY pair of keys
+# with m(x) ^ m(y) == s1 ^ s2, h1(x) == h2(y) AND h2(x) == h1(y) hold
+# AUTOMATICALLY (the xor condition is symmetric), i.e. an exact mirror
+# 2-cycle. Expected mirror pairs = C(n,2)/2^32 ≈ 1024 at n = 2^22, and
+# overlapping mirror pairs form unplaceable components (4 keys on 3
+# slots — observed) with probability ~1, so EVERY reseed attempt
+# failed at 2^22+ (the reference has the same structure,
+# cuckoo_hash_build.cpp:43-49, but is only ever exercised to 4096).
+# Multiplying the key by an odd constant before the h2 murmur makes the
+# two mirror conditions independent (2^-64 per pair): documented
+# deviation, observable probe semantics unchanged.
+_H2_PREMIX = np.uint32(0x9E3779B9)  # odd -> bijective on uint32
+
+
+def _hash2(v, seed, size):
+    return murmur3_32(
+        jnp.asarray(v).astype(jnp.uint32) * _H2_PREMIX, seed, size
+    )
 
 
 class CuckooTable(NamedTuple):
@@ -63,7 +86,7 @@ def build(
     seed1 = jnp.uint32(seed1)
     seed2 = jnp.uint32(seed2)
     h1 = murmur3_32(keys, seed1, size).astype(jnp.int32)
-    h2 = murmur3_32(keys, seed2, size).astype(jnp.int32)
+    h2 = _hash2(keys, seed2, size).astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
 
     table0 = jnp.full((size,), EMPTY, dtype=jnp.uint32)
@@ -86,9 +109,25 @@ def build(
         slot = jnp.where(evicted, -1, slot)
         active = ~res
         cand = jnp.where(side == 0, h1, h2)
-        claims = jnp.full((size,), -1, jnp.int32)
-        claims = claims.at[jnp.where(active, cand, size)].max(idx, mode="drop")
-        winner = active & (claims[cand] == idx)
+        # Per-round ROTATED claim priority: a fixed priority (round 1-3
+        # used max-idx) makes the synchronized eviction dynamics
+        # deterministic, and any eviction CYCLE then repeats identically
+        # every round — a livelock whose probability grows with n (at
+        # 2^22, 4 of 4 random seed pairs spun past 256 rounds while
+        # lucky pairs converged in 18). Rotating idx+1 by the round
+        # number is bijective (still exactly one winner per slot) but
+        # reshuffles the priority order every round, breaking cycles.
+        r = it & 31
+        pr = jnp.uint32(1) + idx.astype(jnp.uint32)
+        # (32 - r) & 31 avoids the undefined shift-by-32 at r == 0
+        pr = jnp.where(
+            r == 0, pr, (pr << r) | (pr >> ((32 - r) & 31))
+        )
+        claims = jnp.zeros((size,), jnp.uint32)
+        claims = claims.at[jnp.where(active, cand, size)].max(
+            pr, mode="drop"
+        )
+        winner = active & (claims[cand] == pr)
         table = table.at[jnp.where(winner, cand, size)].set(keys, mode="drop")
         slot = jnp.where(winner, cand, slot)
         return table, slot, side, it + 1
@@ -96,7 +135,70 @@ def build(
     table, slot, side, rounds = jax.lax.while_loop(
         cond, body, (table0, slot0, side0, jnp.int32(0))
     )
-    success = jnp.all(resident(table, slot))
+
+    # --- sequential straggler cleanup (round 4) ----------------------
+    # The synchronized rounds livelock on rare hash resonances (e.g.
+    # mirrored pairs sharing both slots chase each other in lockstep —
+    # at 2^22 EVERY seed pair left 1-2 stragglers for 256+ rounds, and
+    # randomized priorities/flips did not break it; measure_r5 +
+    # /tmp/npsim* record the hunt). The few leftovers take the
+    # REFERENCE's own insertion semantics instead: a sequential
+    # eviction-chain walk (cuckoo_hashtable.hpp:43-63), carried by key
+    # VALUE (both hashes recompute from the value, so no index
+    # bookkeeping): place the hot key, pick up the displaced occupant,
+    # flip it to its other slot, repeat until a free slot (or the chain
+    # cap — genuinely unplaceable sets then fail and the host re-seeds).
+    def unplaced(tbl):
+        return (tbl[h1] != keys) & (tbl[h2] != keys)
+
+    chain_cap = jnp.int32(2048)
+
+    def chain(tbl, j):
+        def c_cond(cs):
+            v, s, t, st = cs
+            return (v != EMPTY) & (st < chain_cap)
+
+        def c_body(cs):
+            v, s, t, st = cs
+            cand = jnp.where(
+                s == 0,
+                murmur3_32(v, seed1, size),
+                _hash2(v, seed2, size),
+            ).astype(jnp.int32)
+            old = t[cand]
+            t = t.at[cand].set(v)
+            # displaced occupant retries its OTHER slot next
+            ns = jnp.where(
+                murmur3_32(old, seed1, size).astype(jnp.int32) == cand,
+                jnp.int32(1), jnp.int32(0),
+            )
+            return old, ns, t, st + 1
+
+        _, _, tbl, steps = jax.lax.while_loop(
+            c_cond, c_body, (keys[j], jnp.int32(0), tbl, jnp.int32(0))
+        )
+        return tbl, steps
+
+    def s_cond(st):
+        tbl, total, stuck = st
+        return jnp.any(unplaced(tbl)) & (total < chain_cap) & ~stuck
+
+    def s_body(st):
+        tbl, total, stuck = st
+        j = jnp.argmax(unplaced(tbl))
+        tbl, steps = chain(tbl, j)
+        # a chain that hit the cap made no progress guarantee: stop
+        return tbl, total + steps, steps >= chain_cap
+
+    table, _, _ = jax.lax.while_loop(
+        s_cond, s_body, (table, jnp.int32(0), jnp.bool_(False))
+    )
+
+    # residency BY VALUE (chain moves bypass the per-key slot array)
+    at1 = table[h1] == keys
+    at2 = table[h2] == keys
+    slot = jnp.where(at1, h1, jnp.where(at2, h2, -1))
+    success = jnp.all(slot >= 0)
 
     payload: Tuple[jnp.ndarray, ...] = ()
     if values is not None:
@@ -131,7 +233,7 @@ def has(table: CuckooTable, queries: jnp.ndarray) -> jnp.ndarray:
         return found
     size = table.size
     h1 = murmur3_32(q, table.seed1, size).astype(jnp.int32)
-    h2 = murmur3_32(q, table.seed2, size).astype(jnp.int32)
+    h2 = _hash2(q, table.seed2, size).astype(jnp.int32)
     return (table.keys[h1] == q) | (table.keys[h2] == q)
 
 
@@ -141,7 +243,7 @@ def at(table: CuckooTable, queries: jnp.ndarray):
     q = queries.astype(jnp.uint32)
     size = table.size
     h1 = murmur3_32(q, table.seed1, size).astype(jnp.int32)
-    h2 = murmur3_32(q, table.seed2, size).astype(jnp.int32)
+    h2 = _hash2(q, table.seed2, size).astype(jnp.int32)
     hit1 = table.keys[h1] == q
     hit2 = table.keys[h2] == q
     vals = table.payload[0]

@@ -146,7 +146,10 @@ class TestCuckoo:
         t = cuckoo.build(jnp.asarray(keys), size, 77, 88, max_iters=n)
         assert bool(t.success)
         h1 = np.asarray(murmur3_32(jnp.asarray(keys), t.seed1, size))
-        h2 = np.asarray(murmur3_32(jnp.asarray(keys), t.seed2, size))
+        # h2 carries the round-4 bijective key premix (ops/cuckoo._hash2:
+        # plain two-seed murmur pairs are a correlated family with ~2^10
+        # automatic mirror 2-cycles at 2^22)
+        h2 = np.asarray(cuckoo._hash2(jnp.asarray(keys), t.seed2, size))
         table = np.asarray(t.keys)
         assert np.all((table[h1] == keys) | (table[h2] == keys))
 
