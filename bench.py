@@ -98,13 +98,24 @@ def main() -> None:
 
     def run_radix():
         n = 1 << 22
-        x = jax.device_put(
-            rng.integers(1, 10000, n, endpoint=True).astype(np.int32), device
+        X = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+        x = jax.device_put(X, device)
+        # HOST range check (the same host-knowledge convention as the
+        # join's dense_applicable, itself mirroring the reference's
+        # host-side count_distinct): the benchmark's [1, 10000] columns
+        # take the counting pipeline directly — the on-device range
+        # dispatch costs 0.05-0.08 ms of lax.cond/switch construct tax
+        # (device-looped A/B, docs/performance.md round 4). sort_auto
+        # (with the runtime dispatch) remains the engine for
+        # host-unknown data.
+        span_fits = int(X.max()) - int(X.min()) < 80 * 128
+        fn = (
+            (lambda v: sort._sort_counting_shifted(v, jnp.min(v),
+                                                   hi_bins=80))
+            if span_fits and on_accel else sort.sort_auto
         )
-        # range-adaptive: distribution sort (MXU histogram + run expansion)
-        # for the benchmark's [1, 10000] columns, XLA sort fallback otherwise
         return n / _time_dev(
-            sort.sort_auto, x,
+            fn, x,
             # poke ONE element with a value in the benchmark range
             update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
             fold=lambda out: (out[0] & 1).astype(jnp.int32),
@@ -230,9 +241,16 @@ def main() -> None:
             rng.integers(1, 10000, n, endpoint=True).astype(np.int32),
             device,
         )
-        t = _time_dev(
+        # elementwise perturbation, NOT the one-element poke: around a
+        # single dynamic-update-slice XLA incrementalizes the running
+        # sum (a 747 Grows/s reading — 3.6x the read bound); the
+        # fused x + (c & 1) add changes every element, forcing a true
+        # re-read, and fuses into the reduction at zero extra traffic
+        from dwarf_bench_tpu.utils.timing import time_device_looped
+
+        t = time_device_looped(
             lambda v: reduce_ops.reduce_sum_xla(v).reshape(1), x,
-            update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
+            perturb=lambda a, c: (a[0] + (c & 1),),
             fold=lambda o: (o[0] & 1).astype(jnp.int32),
         )
         extras["reduce_rows_per_s"] = round(n / t)

@@ -189,22 +189,22 @@ def sort_auto(x: jnp.ndarray, force_dispatch: bool = False) -> jnp.ndarray:
     # max - min in uint32 is exact for any int32 pair (the true difference
     # is in [0, 2^32)); int64 is unavailable without x64 mode.
     diff = maxv.astype(jnp.uint32) - minv.astype(jnp.uint32)
-    # ONE lax.switch instead of two nested lax.cond: each cond construct
-    # costs ~0.03-0.04 ms of branch-output unification on a 16 MB output
-    # (the scan pipeline's measured cond tax — docs/performance.md round
-    # 4), so flattening the dispatch tree halves the tax.
-    branch = jnp.where(
+    # Dispatch-construct cost (round-4 device-looped A/B at 2^22): the
+    # raw counting pipeline runs 0.458 ms; the nested lax.cond form
+    # ~0.505; a flattened lax.switch measured WORSE (0.537) — the
+    # 3-branch output unification costs more than two conds here. The
+    # nested conds stay; callers with host knowledge of the range
+    # (bench.py, mirroring the join's dense_applicable convention) can
+    # call the counting path directly.
+    return jax.lax.cond(
         diff < jnp.uint32(_NARROW_BINS),
-        0,
-        jnp.where(diff < jnp.uint32(1 << _RANGE_BITS), 1, 2),
-    )
-    return jax.lax.switch(
-        branch,
-        [
-            lambda v: _sort_counting_shifted(v, minv, hi_bins=80),
-            lambda v: _sort_counting_shifted(v, minv, hi_bins=128),
-            jax.lax.sort,
-        ],
+        lambda v: _sort_counting_shifted(v, minv, hi_bins=80),
+        lambda v: jax.lax.cond(
+            diff < jnp.uint32(1 << _RANGE_BITS),
+            lambda w: _sort_counting_shifted(w, minv, hi_bins=128),
+            lambda w: jax.lax.sort(w),
+            v,
+        ),
         x,
     )
 

@@ -1142,6 +1142,39 @@ def d10():
           flush=True)
 
 
+def d11():
+    """Histogram block A/B under in-place device timing (the 0.458 ms
+    counting pipeline is 0.017 ms from the 9.5 G bar): rows x stack."""
+    from dwarf_bench_tpu.ops.hist_pallas import histogram_16k_swar_pallas
+    from dwarf_bench_tpu.ops.sort import _sort_counting_shifted
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
+
+    rng = np.random.default_rng(0)
+    n = 1 << 22
+    k = jnp.asarray(rng.integers(0, 10000, n).astype(np.int32))
+    for rows, stack in ((32, 1), (64, 1), (64, 16), (32, 16)):
+        fn = partial(histogram_16k_swar_pallas, hi_bins=80, rows=rows,
+                     stack=stack)
+        try:
+            t = time_device_looped_inplace(
+                fn, k,
+                update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
+                fold=lambda o: (o[0] & 1).astype(jnp.int32))
+            print(f"d11 hist rows={rows} stack={stack}: {t*1e3:.3f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"d11 rows={rows} stack={stack} FAILED "
+                  f"{type(e).__name__}: {str(e)[:100]}", flush=True)
+    x = jnp.asarray(
+        rng.integers(1, 10000, n, endpoint=True).astype(np.int32))
+    t = time_device_looped_inplace(
+        lambda v: _sort_counting_shifted(v, jnp.min(v), hi_bins=80), x,
+        update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
+        fold=lambda o: (o[0] & 1).astype(jnp.int32))
+    print(f"d11 counting e2e: {t*1e3:.3f} ms = {n/t/1e9:.2f} G",
+          flush=True)
+
+
 def main():
     from dwarf_bench_tpu.common.device import (
         enable_persistent_compile_cache,
