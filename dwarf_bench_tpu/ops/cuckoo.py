@@ -122,7 +122,7 @@ def build(
         # (32 - r) & 31 avoids the undefined shift-by-32 at r == 0
         pr = jnp.where(
             r == 0, pr, (pr << r) | (pr >> ((32 - r) & 31))
-        )
+        ).astype(jnp.uint32)  # the int32 shift count promotes the rotate
         claims = jnp.zeros((size,), jnp.uint32)
         claims = claims.at[jnp.where(active, cand, size)].max(
             pr, mode="drop"
