@@ -100,25 +100,28 @@ def main() -> None:
         n = 1 << 22
         X = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
         x = jax.device_put(X, device)
-        # HOST range check (the same host-knowledge convention as the
-        # join's dense_applicable, itself mirroring the reference's
-        # host-side count_distinct): the benchmark's [1, 10000] columns
-        # take the counting pipeline directly — the on-device range
-        # dispatch costs 0.05-0.08 ms of lax.cond/switch construct tax
-        # (device-looped A/B, docs/performance.md round 4). sort_auto
-        # (with the runtime dispatch) remains the engine for
-        # host-unknown data.
-        span_fits = int(X.max()) - int(X.min()) < 80 * 128
-        fn = (
-            (lambda v: sort._sort_counting_shifted(v, jnp.min(v),
-                                                   hi_bins=80))
-            if span_fits and on_accel else sort.sort_auto
-        )
+        # HOST range check (ops/sort.sort_host_dispatch — the same
+        # host-knowledge convention as the join's dense_applicable): the
+        # benchmark's [1, 10000] columns take the counting pipeline
+        # directly; the on-device range dispatch costs 0.05-0.08 ms of
+        # lax.cond construct tax (docs/performance.md round 4).
+        fn = sort.sort_host_dispatch(X)
         return n / _time_dev(
             fn, x,
-            # poke ONE element with a value in the benchmark range
-            update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1)),),
-            fold=lambda out: (out[0] & 1).astype(jnp.int32),
+            # poke ONE element: index from the carry's low bits, value
+            # spread over [1, 8192] by an odd-multiplier mix so the
+            # coupling chain carries real entropy (round-4 advisor: the
+            # old out[0]&1 fold made s runtime-constant — a near
+            # constant-index poke). Values stay inside the benchmark
+            # range, preserving the counting pipeline's span.
+            update=lambda a, s: (a[0].at[s & 1023].set((
+                1 + ((s.astype(jnp.uint32) * np.uint32(2654435761))
+                     >> 18 & 8191)
+            ).astype(jnp.int32)),),
+            # the median shifts as pokes move mass across it — a
+            # data-dependent O(1) readout (full reductions would add
+            # ~0.07 ms of measured work per iteration)
+            fold=lambda out: out[n >> 1].astype(jnp.int32),
         )
 
     def run_groupby():
@@ -211,14 +214,21 @@ def main() -> None:
 
     def run_scan():
         n = 1 << 24
-        x = jax.device_put(
-            rng.integers(1, 10000, n, endpoint=True).astype(np.int32),
-            device,
-        )
+        X = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+        x = jax.device_put(X, device)
         # sparsity-adaptive engine: near read-bound at the benchmark's
-        # 0.04% selectivity, Pallas butterfly fallback when caps trip
+        # 0.04% selectivity. Host-checked cap precondition (round-5
+        # verdict item 2) drops the lax.cond fallback construct
+        # (0.043 ms of 0.263 at 2^24); the poke below only toggles one
+        # value 1 <-> 10000 at a low index, which moves the counts by
+        # +-1 — far inside the verified cap margins.
+        fn = (
+            partial(scan.filter_sparse, assume_sparse=True)
+            if on_accel and scan.sparse_caps_ok(X)
+            else scan.filter_sparse
+        )
         return n / _time_dev(
-            scan.filter_sparse, x,
+            fn, x,
             # row 0 toggles 1 <-> 10000: count changes by one, the
             # selectivity and value range stay at benchmark conditions
             update=lambda a, s: (a[0].at[s & 1023].set(1 + (s & 1) * 9999),),

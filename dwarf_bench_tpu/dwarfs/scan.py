@@ -12,13 +12,27 @@ import numpy as np
 from ..common.datagen import derive_seed, make_random
 from ..common.options import DeviceType
 from ..common.result import Result
+from functools import partial
+
 from ..ops.scan import (
     filter_oracle,
     filter_sparse,
     filter_two_pass,
     filter_xla,
+    sparse_caps_ok,
 )
 from .base import TpuDwarf
+
+
+def _sparse_engine(host_src, device):
+    """Host-checked engine pick (round-5 verdict item 2, the radix
+    host-range-check convention): when the host data verifiably fits the
+    sparse pipeline's caps, drop filter_sparse's on-device ``lax.cond``
+    fallback construct (0.043 ms of the 0.263 ms 2^24 filter); data that
+    could trip a cap keeps the runtime dispatch."""
+    if device.platform != "cpu" and sparse_caps_ok(host_src):
+        return partial(filter_sparse, assume_sparse=True)
+    return filter_sparse
 
 
 def _outputs_equal(out, expected, c: int, device) -> bool:
@@ -54,6 +68,9 @@ def _outputs_equal(out, expected, c: int, device) -> bool:
 class _ScanBase(TpuDwarf):
     filter_fn = staticmethod(filter_xla)
 
+    def pick_engine(self, host_src, device):
+        return self.filter_fn
+
     def _run(self, buf_size: int, meter) -> None:
         opts = meter.opts
         host_src = make_random(
@@ -61,7 +78,7 @@ class _ScanBase(TpuDwarf):
         )
         expected = filter_oracle(host_src)
         device = self.device(opts)
-        fn = self.filter_fn
+        fn = self.pick_engine(host_src, device)
 
         for _ in range(opts.iterations):
             (out, cnt), dev, host_time = self.timed_with_transfer(
@@ -87,13 +104,10 @@ class TwoPassScan(_ScanBase):
     def __init__(self):
         super().__init__("TwoPassScan")
 
-    def _run(self, buf_size: int, meter) -> None:
-        device = self.device(meter.opts)
+    def pick_engine(self, host_src, device):
         if device.platform != "cpu":
-            self.filter_fn = filter_sparse
-        else:
-            self.filter_fn = filter_two_pass
-        super()._run(buf_size, meter)
+            return _sparse_engine(host_src, device)
+        return filter_two_pass
 
 
 class DPLScan(_ScanBase):
@@ -106,6 +120,9 @@ class DPLScan(_ScanBase):
 
     def __init__(self, name: str = "DPLScan"):
         super().__init__(name)
+
+    def pick_engine(self, host_src, device):
+        return _sparse_engine(host_src, device)
 
 
 class DPLScanCuda(DPLScan):

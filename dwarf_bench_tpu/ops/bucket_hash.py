@@ -106,28 +106,36 @@ def build(
     )
 
 
-@jax.jit
-def find(table: BucketTable, queries: jnp.ndarray):
+@partial(jax.jit, static_argnames=("engine",))
+def find(table: BucketTable, queries: jnp.ndarray, engine: str | None = None):
     """Vectorized bucket lookup. Returns (found, value).
 
-    Two engines, dispatched at trace time on the query-batch size:
+    ``engine`` makes the trace-time dispatch explicit (round-4 advisor):
 
-      * small batches: bucket-tile row gather + compare across the
-        capacity axis + overflow binary search (the lane analog of the
-        reference's cooperative 32-slot slab scan, slab_hash.hpp:264-294);
-      * bulk batches (>= 2^16 on accelerators): the gather-free
-        sort-merge probe (ops/merge_lookup) — the (nq, capacity) tile
-        gather serializes on TPU (measured 3.3 Mrows/s at the config-#4
-        2^24 scale vs ~0.1 Grows/s for the merge).
-
-    Engines agree exactly for distinct table keys (the config-#4 sweep
-    data); with DUPLICATE keys the tile engine sums a bucket's matches
-    while the merge engine returns one duplicate's value — callers with
-    duplicate keys should aggregate first."""
-    if (
-        queries.shape[0] >= (1 << 16)
-        and jax.default_backend() != "cpu"
-    ):
+      * ``"tile"`` — bucket-tile row gather + compare across the capacity
+        axis + overflow binary search (the lane analog of the reference's
+        cooperative 32-slot slab scan, slab_hash.hpp:264-294). Preserves
+        the table's value dtype; with DUPLICATE table keys it SUMS a
+        bucket's matching values.
+      * ``"merge"`` — the gather-free sort-merge probe (ops/merge_lookup):
+        returns uint32 values; with duplicate keys it returns ONE
+        duplicate's value. Key 0xFFFFFFFF (EMPTY) is reserved (see
+        ops/merge_lookup docstring).
+      * ``None`` (default) — auto: merge for bulk batches (>= 2^16 on
+        accelerators — the (nq, capacity) tile gather serializes on TPU:
+        3.3 Mrows/s at the config-#4 2^24 scale vs ~0.1 Grows/s for the
+        merge), tile otherwise. The engines agree exactly for distinct
+        table keys (the dwarf data contract, slab_probe.cpp:16); callers
+        with duplicate keys or dtype-sensitive consumers should pass the
+        engine explicitly or aggregate duplicates at build time."""
+    if engine is None:
+        engine = (
+            "merge"
+            if queries.shape[0] >= (1 << 16)
+            and jax.default_backend() != "cpu"
+            else "tile"
+        )
+    if engine == "merge":
         from .merge_lookup import merge_lookup
 
         return merge_lookup(table.sorted_keys, table.sorted_vals, queries)

@@ -219,7 +219,14 @@ def has(table: CuckooTable, queries: jnp.ndarray) -> jnp.ndarray:
     (cuckoo_hashtable.hpp:29-41) — two random gathers per query. Bulk
     batches on accelerators: the gather-free sort-merge probe against
     the sorted inserted keys (TPU random gathers serialize at
-    ~0.1 Gelem/s; observable semantics identical)."""
+    ~0.1 Gelem/s; observable semantics identical).
+
+    CONTRACT (round-4 advisor): ``has`` is only meaningful when
+    ``table.success`` is True — the reference's callers likewise discard
+    a failed build and re-seed (cuckoo_hash_build.cpp:43-93). On a
+    success=False table the engines diverge by design: the merge path
+    answers from the full inserted key set while the 2-probe path only
+    sees placed keys."""
     q = queries.astype(jnp.uint32)
     if (
         queries.shape[0] >= (1 << 16)

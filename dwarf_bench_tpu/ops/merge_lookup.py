@@ -11,8 +11,20 @@ the queries in its run, and one unsort — three streaming passes, zero
 per-element gathers.
 
 The forward-fill of ARBITRARY values (the csr_join.probe_merge cummax
-trick only carries monotone columns) is a ``lax.associative_scan`` with
-the "last source value" operator — associative, vectorized, exact.
+trick only carries monotone columns) is a DELTA-CUMSUM: each table row
+carries the mod-2^32 delta to its predecessor's value, so a plain
+``cumsum`` over the merged order telescopes to "last preceding table
+row's value" exactly. (The textbook segmented-fill
+``lax.associative_scan`` with a "last source value" operator unrolls
+~25 slice levels at 2^25 and OOM-kills the remote compile server —
+measured round 4; cumsum lowers compactly.)
+
+RESERVED KEY: 0xFFFFFFFF (EMPTY) is the table padding / free-slot
+sentinel throughout the hash family — a real table key equal to EMPTY
+is unfindable via this engine (the ``sk != EMPTY`` guard treats it as
+padding). The dwarf generators never produce it (make_random spans
+[1, 10000]; make_unique_random spans [1, 10n] with n < 2^28), and
+bucket_hash.build / cuckoo.build document it as reserved.
 """
 
 from __future__ import annotations

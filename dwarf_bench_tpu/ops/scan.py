@@ -74,11 +74,64 @@ def filter_two_pass(
 _BIG = np.int32(0x7FFFFFFF)
 
 
+def sparse_caps_ok(
+    x,
+    threshold=DEFAULT_THRESHOLD,
+    chunk: int = 128,
+    cap_mc: int | None = None,
+    cap_single: int | None = None,
+    cap_melems: int | None = None,
+) -> bool:
+    """HOST-side precondition check for ``filter_sparse(assume_sparse=
+    True)`` — the same host-knowledge convention as the radix range check
+    and the join's ``dense_applicable`` (both mirroring the reference's
+    host-side ``count_distinct``, join_omnisci.cpp:55-69). Replicates the
+    on-device ``ok`` predicate exactly (chunk classification per
+    ops/chunk_stats window encoding): callers that hold the host data can
+    verify the caps once and skip the ``lax.cond`` fallback construct
+    (0.043 ms of the 0.263 ms 2^24 filter — docs/performance.md round-4
+    stage table)."""
+    x = np.asarray(x)
+    n = x.shape[0]
+    if x.dtype != np.int32 or n >= (1 << 30):
+        return False
+    thr = int(threshold)
+    if thr <= -(2**31) + 512:
+        return False
+    if cap_mc is None:
+        cap_mc = max(512, n >> 15)
+    if cap_single is None:
+        cap_single = max(16384, n >> 10)
+    if cap_melems is None:
+        cap_melems = max(4096, n >> 12)
+    pad = (-n) % chunk
+    xp = np.pad(x, (0, pad), constant_values=thr)
+    x2 = xp.reshape(-1, chunk)
+    m = x2 < thr
+    cnt = m.sum(axis=1)
+    # window encoding (ops/chunk_stats): vsum == the match's distance only
+    # when the single match lies in (thr-256, thr); out-of-window singles
+    # (vsum clip 256 marker) reroute to the multi/gather path
+    d = np.clip(thr - np.maximum(x2, thr - 512), 0, 256)
+    vs = np.minimum(d.sum(axis=1), 511)
+    single = (cnt == 1) & (vs >= 1) & (vs <= 255)
+    multi = (cnt >= 1) & ~single
+    total = int(cnt.sum())
+    n_single = int(single.sum())
+    n_multi = int(multi.sum())
+    n_melems = total - n_single
+    return (
+        n_single <= cap_single
+        and n_multi <= cap_mc
+        and n_melems <= cap_melems
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "capacity", "chunk", "cap_mc", "cap_single", "cap_melems",
-        "stats_pallas", "tail_rows", "interpret",
+        "stats_pallas", "tail_rows", "interpret", "assume_sparse",
     ),
 )
 def filter_sparse(
@@ -92,6 +145,7 @@ def filter_sparse(
     stats_pallas: bool | None = None,
     tail_rows: int = 8,
     interpret: bool = False,
+    assume_sparse: bool = False,
 ):
     """Sparsity-adaptive copy_if → (out, count).
 
@@ -124,6 +178,14 @@ def filter_sparse(
     the general butterfly compaction (filter_pallas / filter_two_pass), so
     the result is correct for EVERY selectivity; only the fast path is
     specialized. Requires n < 2^30 (position sentinel headroom).
+
+    ``assume_sparse=True`` (PRECONDITION: ``sparse_caps_ok`` verified on
+    the host) drops the ``lax.cond`` and runs the sparse pipeline
+    unconditionally — the round-4 stage table prices the cond's fallback
+    construct at 0.043 ms of the 0.263 ms 2^24 filter, pure dispatch tax
+    once the host already knows the caps hold (the radix host-range-check
+    convention). Callers with host-unknown data keep the default runtime
+    dispatch.
 
     ``chunk`` must be 128 (one vreg row / the fused kernel's tile width).
     """
@@ -262,6 +324,8 @@ def filter_sparse(
             )
             return out.astype(x.dtype), c
 
+        if assume_sparse:
+            return sparse_branch_f(xp, spos_k, sval_k, mids_k, mbase_k)
         return jax.lax.cond(
             ok, sparse_branch_f, general_branch_f,
             xp, spos_k, sval_k, mids_k, mbase_k,
@@ -339,6 +403,8 @@ def filter_sparse(
             out, c = filter_two_pass(xp[:n], threshold, capacity=capacity)
         return out.astype(x.dtype), c
 
+    if assume_sparse:
+        return sparse_branch(xp, base, sval, single, multi)
     return jax.lax.cond(
         ok, sparse_branch, general_branch, xp, base, sval, single, multi
     )

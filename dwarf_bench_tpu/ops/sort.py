@@ -209,6 +209,38 @@ def sort_auto(x: jnp.ndarray, force_dispatch: bool = False) -> jnp.ndarray:
     )
 
 
+def sort_host_dispatch(host_vals, platform: str | None = None):
+    """HOST-side engine pick (round-5: the same host-knowledge convention
+    as the join's ``dense_applicable`` and the reference's host-side
+    ``count_distinct``, join_omnisci.cpp:55-69): the caller holds the host
+    column (the dwarfs generate it, sort/radix.cpp:14-20), so the range
+    check that ``sort_auto`` performs on device — paying 0.05-0.08 ms of
+    ``lax.cond`` construct tax per call (docs/performance.md round 4) —
+    can run once here and dispatch the counting pipeline directly.
+
+    Returns a jitted engine with ``sort_auto`` semantics for this column's
+    range class. CPU keeps ``sort_auto`` (which short-circuits to
+    ``lax.sort`` — see its docstring). ``platform`` defaults to the
+    default backend; dwarfs pass their resolved device's platform."""
+    if (platform or jax.default_backend()) == "cpu":
+        return sort_auto
+    v = np.asarray(host_vals)
+    if v.size == 0:
+        return sort_auto
+    span = int(v.astype(np.uint32).max()) - int(v.astype(np.uint32).min())
+    if v.dtype == np.int32:  # span as the true int32 difference
+        span = int(v.max()) - int(v.min())
+    if span < _NARROW_BINS:
+        return jax.jit(
+            lambda x: _sort_counting_shifted(x, jnp.min(x), hi_bins=80)
+        )
+    if span < (1 << _RANGE_BITS):
+        return jax.jit(
+            lambda x: _sort_counting_shifted(x, jnp.min(x), hi_bins=128)
+        )
+    return sort_auto
+
+
 def sort_oracle(x) -> np.ndarray:
     """std::sort oracle (sort/radix.cpp:8-13)."""
     return np.sort(np.asarray(x), kind="stable")

@@ -43,6 +43,28 @@ class TestFilter:
         assert int(cnt) == 10_000
         assert (np.asarray(out) == 1).all()
 
+    def test_sparse_caps_ok_host_check(self, rng):
+        # benchmark-shaped data passes; dense data fails the caps
+        x = rng.integers(1, 10000, 200_000, endpoint=True).astype(np.int32)
+        assert scan.sparse_caps_ok(x, 5)
+        dense = rng.integers(1, 10, 50_000, endpoint=True).astype(np.int32)
+        assert not scan.sparse_caps_ok(dense, 9)
+        # wrong dtype and wrapped-threshold guard
+        assert not scan.sparse_caps_ok(x.astype(np.int64), 5)
+        assert not scan.sparse_caps_ok(x, -(2**31) + 512)
+
+    @pytest.mark.parametrize("thr", [5, 30])
+    def test_sparse_assume_sparse_matches_oracle(self, rng, thr):
+        # host-verified precondition -> the cond-free pipeline (round-5
+        # verdict item 2) must equal the oracle exactly
+        x = rng.integers(1, 10000, 200_000, endpoint=True).astype(np.int32)
+        assert scan.sparse_caps_ok(x, thr)
+        out, cnt = scan.filter_sparse(jnp.asarray(x), thr,
+                                      assume_sparse=True)
+        exp = scan.filter_oracle(x, thr)
+        assert int(cnt) == len(exp)
+        assert np.array_equal(np.asarray(out)[: len(exp)], exp)
+
     def test_sparse_boundary_selectivity(self, rng):
         # right at the single/multi boundary: ~2 matches per 32-chunk
         x = rng.integers(1, 16, 100_000, endpoint=True).astype(np.int32)
@@ -85,6 +107,17 @@ class TestSortReduce:
     def test_sort_counting_single_value(self):
         x = np.full(4096, 7, np.int32)
         assert (np.asarray(sort.sort_counting(jnp.asarray(x))) == 7).all()
+
+    def test_sort_host_dispatch(self, rng):
+        # host-side engine pick (round-5 verdict item 7): correct on every
+        # range class; CPU platform always yields sort_auto
+        x = rng.integers(1, 10000, 4096, endpoint=True).astype(np.int32)
+        eng = sort.sort_host_dispatch(x)
+        assert np.array_equal(np.asarray(eng(jnp.asarray(x))),
+                              sort.sort_oracle(x))
+        assert sort.sort_host_dispatch(x, platform="cpu") is sort.sort_auto
+        assert sort.sort_host_dispatch(
+            np.empty(0, np.int32)) is sort.sort_auto
 
     def test_sort_auto_narrow_and_wide(self, rng):
         narrow = rng.integers(1, 10000, 10_000, endpoint=True).astype(np.int32)
