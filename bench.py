@@ -302,7 +302,11 @@ def main() -> None:
         )
         tbl, _ = timed(build_fn, dk, dv)  # compile+warm
         _, t_build = timed(build_fn, dk, dv)
-        t_probe = _time_op(jax.jit(bucket_hash.find), tbl, dp, repeats=1)
+        # round-5 probe engine: bitonic sort-merge (one query pair sort +
+        # log2(N)-stage merge vs the build-sorted keys). val_bits=16 is
+        # host-known (values are [1, 10000]) — the radix convention.
+        probe_fn = jax.jit(partial(bucket_hash.find, val_bits=16))
+        t_probe = _time_op(probe_fn, tbl, dp, repeats=1)
         extras["slab_build_2p24_ms"] = round(t_build * 1e3, 2)
         extras["slab_probe_hit50_2p24_ms"] = round(t_probe * 1e3, 2)
         extras["slab_probe_hit50_rows_per_s"] = round(n / t_probe)

@@ -106,8 +106,13 @@ def build(
     )
 
 
-@partial(jax.jit, static_argnames=("engine",))
-def find(table: BucketTable, queries: jnp.ndarray, engine: str | None = None):
+@partial(jax.jit, static_argnames=("engine", "val_bits"))
+def find(
+    table: BucketTable,
+    queries: jnp.ndarray,
+    engine: str | None = None,
+    val_bits: int = 32,
+):
     """Vectorized bucket lookup. Returns (found, value).
 
     ``engine`` makes the trace-time dispatch explicit (round-4 advisor):
@@ -117,10 +122,16 @@ def find(table: BucketTable, queries: jnp.ndarray, engine: str | None = None):
         cooperative 32-slot slab scan, slab_hash.hpp:264-294). Preserves
         the table's value dtype; with DUPLICATE table keys it SUMS a
         bucket's matching values.
-      * ``"merge"`` — the gather-free sort-merge probe (ops/merge_lookup):
-        returns uint32 values; with duplicate keys it returns ONE
+      * ``"merge"`` — the gather-free bitonic sort-merge probe
+        (ops/merge_lookup.merge_lookup_bitonic — one query pair sort +
+        a log2(N)-stage bitonic merge against the build-time-sorted
+        keys): returns uint32 values; with duplicate keys it returns ONE
         duplicate's value. Key 0xFFFFFFFF (EMPTY) is reserved (see
-        ops/merge_lookup docstring).
+        ops/merge_lookup docstring). ``val_bits=16`` (caller guarantees
+        every table value < 2^16, e.g. the benchmark's [1, 10000]
+        columns) drops the third merge column.
+      * ``"merge_legacy"`` — the round-4 full-concat-sort merge probe
+        (ops/merge_lookup.merge_lookup), kept for A/B measurement.
       * ``None`` (default) — auto: merge for bulk batches (>= 2^16 on
         accelerators — the (nq, capacity) tile gather serializes on TPU:
         3.3 Mrows/s at the config-#4 2^24 scale vs ~0.1 Grows/s for the
@@ -136,6 +147,13 @@ def find(table: BucketTable, queries: jnp.ndarray, engine: str | None = None):
             else "tile"
         )
     if engine == "merge":
+        from .merge_lookup import merge_lookup_bitonic
+
+        return merge_lookup_bitonic(
+            table.sorted_keys, table.sorted_vals, queries,
+            val_bits=val_bits,
+        )
+    if engine == "merge_legacy":
         from .merge_lookup import merge_lookup
 
         return merge_lookup(table.sorted_keys, table.sorted_vals, queries)

@@ -232,10 +232,11 @@ def has(table: CuckooTable, queries: jnp.ndarray) -> jnp.ndarray:
         queries.shape[0] >= (1 << 16)
         and jax.default_backend() != "cpu"
     ):
-        from .merge_lookup import merge_lookup
+        from .merge_lookup import merge_lookup_bitonic
 
-        found, _ = merge_lookup(
-            table.keys_sorted, jnp.zeros_like(table.keys_sorted), q
+        found, _ = merge_lookup_bitonic(
+            table.keys_sorted, jnp.zeros_like(table.keys_sorted), q,
+            membership=True,
         )
         return found
     size = table.size

@@ -29,11 +29,14 @@ bucket_hash.build / cuckoo.build document it as reserved.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 EMPTY = np.uint32(0xFFFFFFFF)
+_TAG = np.uint32(0x80000000)  # aux bit 31: query row (table rows clear it)
 
 
 def merge_lookup(sorted_keys, sorted_vals, queries):
@@ -85,6 +88,131 @@ def merge_lookup(sorted_keys, sorted_vals, queries):
         (si, found.astype(jnp.int32), val), num_keys=1, is_stable=False
     )
     return f2[nt:] == 1, v2[nt:]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("val_bits", "membership", "compact_first"),
+)
+def merge_lookup_bitonic(
+    sorted_keys,
+    sorted_vals,
+    queries,
+    val_bits: int = 32,
+    membership: bool = False,
+    compact_first: bool | None = None,
+):
+    """``merge_lookup`` semantics at ~1/4 the sort traffic (round 5).
+
+    The original pays two full O(n log^2 n) comparison sorts over the
+    2^25-element concat — 219-296 ms at the config-#4 scale, the entire
+    probe cost. But the table side is PRE-SORTED at build time, so the
+    expensive stable concat sort decomposes into (a) ONE pair sort of the
+    queries alone and (b) a Batcher bitonic MERGE (ops/bitonic) — log2(N)
+    oblivious stages instead of ~log^2(N)/2. Pipeline:
+
+      1. sortQ: ``lax.sort((q, idx), num_keys=2)`` — the only full sort
+         of the input side (deterministic composite order, which the
+         merge's bitonicity requires — see ops/bitonic).
+      2. bitonic merge of [table asc ‖ EMPTY-pad peak ‖ flip(queries)]
+         under the (key, aux) order. aux packs the row class: table rows
+         carry their value-DELTA (val_bits=16: mod-2^16 delta in aux's
+         low bits — 2 columns total; val_bits=32: a third delta column;
+         membership=True: no delta at all) and bit 31 = 0; query rows
+         carry TAG | original index. Table-before-query tie order falls
+         out of aux ordering (table aux < 2^31 <= query aux).
+      3. delta-cumsum fill + carry-key cummax, exactly as the original.
+      4. unsort: pack (idx << 1 | found) into one distinct-key column —
+         one unstable 2-operand sort delivers drop-the-table-rows AND
+         query-order restoration at once (``compact_first=True`` runs the
+         streaming compaction before it so the sort is nq- not N-sized).
+
+    Contract matches ``merge_lookup``: duplicate table keys must be
+    pre-aggregated; EMPTY is reserved; queries equal to EMPTY return
+    (False, 0). ``val_bits=16`` is exact iff every table value < 2^16
+    (caller-guaranteed, like the join's packed layouts). Requires
+    nq < 2^30."""
+    from .bitonic import merge_bitonic
+
+    nt = sorted_keys.shape[0]
+    nq = queries.shape[0]
+    if nq == 0:
+        return jnp.zeros((0,), bool), jnp.zeros((0,), jnp.uint32)
+    assert nq < (1 << 30), "query index must fit 30 bits"
+    q = queries.astype(jnp.uint32)
+    tk = sorted_keys.astype(jnp.uint32)
+    tv = sorted_vals.astype(jnp.uint32)
+    qi = jnp.arange(nq, dtype=jnp.uint32)
+    qs, qidx = jax.lax.sort((q, qi), num_keys=2, is_stable=False)
+
+    total = nt + nq
+    n_pow2 = 1 << max(total - 1, 0).bit_length()
+    npad = n_pow2 - total
+    if nt > 0:
+        dv = (tv - jnp.roll(tv, 1)).at[0].set(tv[0])
+    else:
+        dv = tv
+    if membership:
+        aux_t = jnp.zeros((nt,), jnp.uint32)
+        extra = ()
+    elif val_bits == 16:
+        aux_t = dv & jnp.uint32(0xFFFF)
+        extra = ()
+    else:
+        aux_t = jnp.zeros((nt,), jnp.uint32)
+        extra = (
+            jnp.concatenate([dv, jnp.zeros((npad + nq,), jnp.uint32)]),
+        )
+    keys_all = jnp.concatenate(
+        [tk, jnp.full((npad,), EMPTY, jnp.uint32), jnp.flip(qs)]
+    )
+    aux_all = jnp.concatenate(
+        [aux_t, jnp.full((npad,), 0xFFFFFFFF, jnp.uint32),
+         jnp.flip(_TAG | qidx)]
+    )
+    merged = merge_bitonic((keys_all, aux_all) + extra, num_cmp=2)
+    sk, sa = merged[0], merged[1]
+
+    is_src = (sa & _TAG) == 0
+    nsrc = jnp.cumsum(is_src.astype(jnp.int32))
+    carry_key = jax.lax.cummax(jnp.where(is_src, sk, jnp.uint32(0)))
+    found = (~is_src) & (nsrc > 0) & (carry_key == sk) & (sk != EMPTY)
+    if membership:
+        val = jnp.zeros_like(sk)
+    elif val_bits == 16:
+        sv = jnp.where(is_src, sa & jnp.uint32(0xFFFF), jnp.uint32(0))
+        val = jnp.cumsum(sv, dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+    else:
+        sv = jnp.where(is_src, merged[2], jnp.uint32(0))
+        val = jnp.cumsum(sv, dtype=jnp.uint32)
+    qp = sa & jnp.uint32(0x7FFFFFFF)
+    is_real_q = (~is_src) & (qp < jnp.uint32(nq))
+    dest = jnp.where(
+        is_real_q, (qp << 1) | found.astype(jnp.uint32),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    val = jnp.where(found, val, jnp.uint32(0))
+
+    if compact_first is None:
+        compact_first = jax.default_backend() != "cpu"
+    if compact_first:
+        # every real query appears exactly once, so capacity == count
+        if jax.default_backend() != "cpu":
+            from .compact_pallas import compact_mask_pallas
+
+            (dest, val), _ = compact_mask_pallas(
+                is_real_q, (dest, val), capacity=nq
+            )
+        else:
+            from .primitives import compact_multi
+
+            (dest, val), _ = compact_multi(
+                (dest, val), is_real_q, capacity=nq
+            )
+    sd, sval = jax.lax.sort((dest, val), num_keys=1, is_stable=False)
+    sd, sval = sd[:nq], sval[:nq]
+    found_out = (sd & jnp.uint32(1)) == 1
+    return found_out, jnp.where(found_out, sval, jnp.uint32(0))
 
 
 def sort_table(keys, vals=None):

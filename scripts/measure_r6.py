@@ -1,0 +1,209 @@
+"""Round-5 TPU experiments, batch 1: the bulk hash probe rebuild.
+
+Round-4 verdict item 1: slab/cuckoo bulk probes sat at 0.057-0.077
+Grows/s at 2^24 — three full-width lax.sort passes over the 2^25-element
+concat (the comparison network's ~200+ compare-exchange passes). The
+round-5 engine (ops/merge_lookup.merge_lookup_bitonic) keeps lax.sort
+only for the two unavoidable permutation sorts (queries in, results out)
+and replaces the big concat sort with a log2(N)-stage hand-built bitonic
+merge against the build-time-sorted table (ops/bitonic).
+
+Groups (run as `python scripts/measure_r6.py p0 p1 ...`):
+
+  p0: legacy merge probe at 2^24 (baseline re-measure, ms scale).
+  p1: bitonic probe val_bits=32 / 16 / membership, compact_first on/off.
+  p2: DEVICE validation: bitonic vs legacy at 2^24 (found count + val
+      checksum must agree exactly), plus hit-rate sanity (~50%).
+  d1: decomposition — each pipeline stage standalone: sortQ (2-op
+      num_keys=2 2^24), bitonic merge alone (2-col and 3-col, 2^25),
+      cumsum+cummax scans (2^25), compaction (2^25 -> 2^24), sort2
+      (2-op 2^24) and the no-compact sort2 (2-op 2^25). This is the
+      costed-wall table for docs/performance.md.
+  d2: lax.sort operand/width scaling at 2^24: 1-op u32, 2-op u32,
+      2-op num_keys=2, 3-op stable — grounds the wall arithmetic.
+
+  CAUTION: QUIET HOST; ms-scale kernels, so queue-k timing is valid
+  (dispatch 0.13-0.30 ms is noise at 10+ ms). Remote compiles: the
+  25-stage merge is one fresh shape — budget minutes on first run.
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dwarf_bench_tpu.common.device import enable_persistent_compile_cache
+from dwarf_bench_tpu.utils.timing import time_amortized, timed
+
+
+def _scalar(x):
+    return np.asarray(jax.jit(lambda a: a.ravel()[0])(x))
+
+
+def _data(n=1 << 24, seed=0):
+    rng = np.random.default_rng(seed)
+    keys = (rng.permutation(2 * n)[:n].astype(np.uint32) + 1)
+    vals = rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+    probes = np.empty(n, np.uint32)
+    probes[: n // 2] = keys[: n // 2]
+    probes[n // 2:] = (
+        rng.integers(0, n, n // 2).astype(np.uint32) + np.uint32(4 * n)
+    )
+    rng.shuffle(probes)
+    return keys, vals, probes
+
+
+def _table(keys, vals):
+    from dwarf_bench_tpu.ops.merge_lookup import sort_table
+
+    return jax.jit(sort_table)(jnp.asarray(keys), jnp.asarray(vals))
+
+
+def p0():
+    from dwarf_bench_tpu.ops.merge_lookup import merge_lookup
+
+    keys, vals, probes = _data()
+    sk, sv = _table(keys, vals)
+    q = jnp.asarray(probes)
+    fn = jax.jit(merge_lookup)
+    _, t0 = timed(fn, sk, sv, q)  # compile+warm
+    t = min(timed(fn, sk, sv, q)[1] for _ in range(3))
+    n = probes.shape[0]
+    print(f"p0 legacy merge_lookup 2^24: {t*1e3:.1f} ms = "
+          f"{n/t/1e9:.3f} Grows/s", flush=True)
+
+
+def p1():
+    from dwarf_bench_tpu.ops.merge_lookup import merge_lookup_bitonic
+
+    keys, vals, probes = _data()
+    sk, sv = _table(keys, vals)
+    q = jnp.asarray(probes)
+    n = probes.shape[0]
+    for label, kw in (
+        ("v32 compact", dict(val_bits=32, compact_first=True)),
+        ("v32 nocompact", dict(val_bits=32, compact_first=False)),
+        ("v16 compact", dict(val_bits=16, compact_first=True)),
+        ("member compact", dict(membership=True, compact_first=True)),
+    ):
+        fn = jax.jit(partial(merge_lookup_bitonic, **kw))
+        _, _ = timed(fn, sk, sv, q)
+        t = min(timed(fn, sk, sv, q)[1] for _ in range(3))
+        print(f"p1 bitonic {label} 2^24: {t*1e3:.1f} ms = "
+              f"{n/t/1e9:.3f} Grows/s", flush=True)
+
+
+def p2():
+    from dwarf_bench_tpu.ops.merge_lookup import (
+        merge_lookup, merge_lookup_bitonic,
+    )
+
+    keys, vals, probes = _data()
+    sk, sv = _table(keys, vals)
+    q = jnp.asarray(probes)
+
+    def digest(pair):
+        f, v = pair
+        w = jnp.arange(1, f.shape[0] + 1, dtype=jnp.uint32)
+        return jnp.stack([
+            jnp.sum(f.astype(jnp.uint32)),
+            jnp.sum(v * w),
+            jnp.sum(v),
+        ])
+
+    d_leg = np.asarray(jax.jit(
+        lambda a, b, c: digest(merge_lookup(a, b, c)))(sk, sv, q))
+    for vb in (32, 16):
+        d_bit = np.asarray(jax.jit(
+            lambda a, b, c: digest(
+                merge_lookup_bitonic(a, b, c, val_bits=vb)))(sk, sv, q))
+        ok = np.array_equal(d_leg, d_bit)
+        print(f"p2 v{vb} digest legacy={d_leg.tolist()} "
+              f"bitonic={d_bit.tolist()} -> "
+              f"{'OK' if ok else 'MISMATCH'}", flush=True)
+        assert ok
+    nhit = int(d_leg[0])
+    print(f"p2 hits {nhit} / {q.shape[0]} (expect ~50%)", flush=True)
+
+
+def d1():
+    from dwarf_bench_tpu.ops.bitonic import merge_bitonic
+
+    rng = np.random.default_rng(1)
+    nq = 1 << 24
+    N = 1 << 25
+    q = jnp.asarray(rng.integers(0, 1 << 32, nq, dtype=np.uint64)
+                    .astype(np.uint32))
+    qi = jnp.arange(nq, dtype=jnp.uint32)
+
+    t = time_amortized(
+        jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2,
+                                          is_stable=False)), q, qi)
+    print(f"d1 sortQ (2-op nk2 2^24): {t*1e3:.2f} ms", flush=True)
+
+    # bitonic merge alone on synthetic bitonic input (asc ‖ desc)
+    big = jnp.asarray(rng.integers(0, 1 << 32, N, dtype=np.uint64)
+                      .astype(np.uint32))
+    asc = jax.jit(lambda v: jax.lax.sort(v))(big[: N // 2])
+    desc = jnp.flip(jax.jit(lambda v: jax.lax.sort(v))(big[N // 2:]))
+    kb = jnp.concatenate([asc, desc])
+    aux = jnp.arange(N, dtype=jnp.uint32)
+    extra = jnp.flip(aux)
+    f2 = jax.jit(lambda k, a: merge_bitonic((k, a), num_cmp=2))
+    f3 = jax.jit(lambda k, a, e: merge_bitonic((k, a, e), num_cmp=2))
+    t2 = time_amortized(f2, kb, aux)
+    print(f"d1 merge 2-col 2^25: {t2*1e3:.2f} ms", flush=True)
+    t3 = time_amortized(f3, kb, aux, extra)
+    print(f"d1 merge 3-col 2^25: {t3*1e3:.2f} ms", flush=True)
+
+    m = jax.jit(lambda v: jnp.cumsum(v, dtype=jnp.uint32))
+    t = time_amortized(m, kb)
+    print(f"d1 cumsum u32 2^25: {t*1e3:.2f} ms", flush=True)
+    t = time_amortized(jax.jit(jax.lax.cummax), kb)
+    print(f"d1 cummax u32 2^25: {t*1e3:.2f} ms", flush=True)
+
+    mask = (aux & 1) == 0  # 50% dense mask
+    from dwarf_bench_tpu.ops.compact_pallas import compact_mask_pallas
+    fc = jax.jit(partial(compact_mask_pallas, capacity=nq))
+    t = time_amortized(fc, mask, (kb, aux))
+    print(f"d1 compact 2^25->2^24 (2 cols): {t*1e3:.2f} ms", flush=True)
+
+    s2 = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=1,
+                                           is_stable=False))
+    t = time_amortized(s2, q, qi)
+    print(f"d1 sort2 (2-op 2^24): {t*1e3:.2f} ms", flush=True)
+    t = time_amortized(s2, kb, aux)
+    print(f"d1 sort2-nocompact (2-op 2^25): {t*1e3:.2f} ms", flush=True)
+
+
+def d2():
+    rng = np.random.default_rng(2)
+    n = 1 << 24
+    a = jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint64)
+                    .astype(np.uint32))
+    b = jnp.arange(n, dtype=jnp.uint32)
+    c = jnp.zeros((n,), jnp.uint32)
+    cases = {
+        "1-op": jax.jit(lambda x, y, z: jax.lax.sort((x,), num_keys=1,
+                                                     is_stable=False)),
+        "2-op": jax.jit(lambda x, y, z: jax.lax.sort(
+            (x, y), num_keys=1, is_stable=False)),
+        "2-op nk2": jax.jit(lambda x, y, z: jax.lax.sort(
+            (x, y), num_keys=2, is_stable=False)),
+        "3-op stable": jax.jit(lambda x, y, z: jax.lax.sort(
+            (x, y, z), num_keys=1, is_stable=True)),
+    }
+    for label, fn in cases.items():
+        t = time_amortized(fn, a, b, c)
+        print(f"d2 lax.sort {label} 2^24: {t*1e3:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    enable_persistent_compile_cache()
+    print(f"device: {jax.devices()[0]}", flush=True)
+    for g in sys.argv[1:]:
+        globals()[g]()

@@ -5,7 +5,11 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from dwarf_bench_tpu.ops.merge_lookup import merge_lookup, sort_table
+from dwarf_bench_tpu.ops.merge_lookup import (
+    merge_lookup,
+    merge_lookup_bitonic,
+    sort_table,
+)
 
 
 @pytest.mark.parametrize("nt,nq", [(100, 1000), (5000, 5000), (1, 7)])
@@ -46,6 +50,96 @@ def test_merge_lookup_empty_padded_table(rng):
     found, val = merge_lookup(jnp.asarray(keys), jnp.asarray(vals),
                               jnp.asarray(q))
     assert list(np.asarray(found)) == [True, True, False, False]
+
+
+@pytest.mark.parametrize("nt,nq", [(100, 1000), (5000, 5000), (1, 7),
+                                   (4096, 4096), (1000, 24)])
+@pytest.mark.parametrize("val_bits", [16, 32])
+@pytest.mark.parametrize("compact_first", [False, True])
+def test_bitonic_matches_dict(rng, nt, nq, val_bits, compact_first):
+    keys = rng.choice(1 << 20, nt, replace=False).astype(np.uint32)
+    vals = rng.integers(1, 10000, nt).astype(np.uint32)  # < 2^16: both
+    q = np.concatenate(                                  # widths exact
+        [rng.permutation(keys)[: nq // 2],
+         rng.integers(1 << 21, 1 << 22, nq - nq // 2).astype(np.uint32)]
+    )
+    rng.shuffle(q)
+    sk, sv = sort_table(jnp.asarray(keys), jnp.asarray(vals))
+    found, val = merge_lookup_bitonic(
+        sk, sv, jnp.asarray(q), val_bits=val_bits,
+        compact_first=compact_first,
+    )
+    d = dict(zip(keys.tolist(), vals.tolist()))
+    exp_f = np.array([int(k) in d for k in q])
+    exp_v = np.array([d.get(int(k), 0) for k in q], np.uint32)
+    assert np.array_equal(np.asarray(found), exp_f)
+    assert np.array_equal(np.asarray(val), exp_v)
+
+
+def test_bitonic_wide_vals_and_dup_queries(rng):
+    # values past 2^16 require val_bits=32; duplicate queries must all
+    # resolve identically
+    nt, nq = 3000, 4000
+    keys = rng.choice(1 << 24, nt, replace=False).astype(np.uint32)
+    vals = rng.integers(0, 1 << 32, nt, dtype=np.uint64).astype(np.uint32)
+    q = rng.choice(keys, nq).astype(np.uint32)  # with replacement
+    q[::7] = 0xABCDEF12  # guaranteed misses sprinkled in
+    sk, sv = sort_table(jnp.asarray(keys), jnp.asarray(vals))
+    found, val = merge_lookup_bitonic(sk, sv, jnp.asarray(q))
+    d = dict(zip(keys.tolist(), vals.tolist()))
+    exp_f = np.array([int(k) in d for k in q])
+    exp_v = np.array([d.get(int(k), 0) for k in q], np.uint32)
+    assert np.array_equal(np.asarray(found), exp_f)
+    assert np.array_equal(np.asarray(val), exp_v)
+
+
+def test_bitonic_key_zero_empty_and_membership():
+    keys = np.array([0, 5, 0xFFFFFFFE], np.uint32)
+    vals = np.array([11, 22, 33], np.uint32)
+    # q == 0 before any table row in the merge, q == EMPTY, misses
+    q = np.array([0, 5, 7, 0xFFFFFFFF, 0xFFFFFFFE, 0], np.uint32)
+    sk, sv = sort_table(jnp.asarray(keys), jnp.asarray(vals))
+    for vb in (16, 32):
+        found, val = merge_lookup_bitonic(sk, sv, jnp.asarray(q),
+                                          val_bits=vb)
+        assert list(np.asarray(found)) == [True, True, False, False,
+                                           True, True]
+        assert list(np.asarray(val)) == [11, 22, 0, 0, 33, 11]
+    # query key 0 with NO table key 0: the nsrc guard must hold
+    f2, v2 = merge_lookup_bitonic(
+        jnp.asarray(np.array([7, 9], np.uint32)),
+        jnp.asarray(np.array([1, 2], np.uint32)),
+        jnp.asarray(np.array([0, 7], np.uint32)),
+    )
+    assert list(np.asarray(f2)) == [False, True]
+    # membership: found identical, values all zero
+    fm, vm = merge_lookup_bitonic(sk, sv, jnp.asarray(q), membership=True)
+    assert list(np.asarray(fm)) == [True, True, False, False, True, True]
+    assert not np.asarray(vm).any()
+
+
+def test_bitonic_empty_padded_table():
+    keys = np.array([3, 9, 0xFFFFFFFF, 0xFFFFFFFF], np.uint32)
+    vals = np.array([1, 2, 0, 0], np.uint32)
+    q = np.array([3, 9, 0xFFFFFFFF, 4], np.uint32)
+    found, val = merge_lookup_bitonic(jnp.asarray(keys), jnp.asarray(vals),
+                                      jnp.asarray(q))
+    assert list(np.asarray(found)) == [True, True, False, False]
+    assert list(np.asarray(val)) == [1, 2, 0, 0]
+
+
+def test_bitonic_agrees_with_merge_lookup_fuzz(rng):
+    for _ in range(5):
+        nt = int(rng.integers(1, 3000))
+        nq = int(rng.integers(1, 3000))
+        keys = rng.choice(1 << 16, nt, replace=False).astype(np.uint32)
+        vals = rng.integers(1, 10000, nt).astype(np.uint32)
+        q = rng.integers(0, 1 << 16, nq).astype(np.uint32)
+        sk, sv = sort_table(jnp.asarray(keys), jnp.asarray(vals))
+        f0, v0 = merge_lookup(sk, sv, jnp.asarray(q))
+        f1, v1 = merge_lookup_bitonic(sk, sv, jnp.asarray(q), val_bits=16)
+        assert np.array_equal(np.asarray(f0), np.asarray(f1))
+        assert np.array_equal(np.asarray(v0), np.asarray(v1))
 
 
 def test_bucket_find_engines_agree(rng):
