@@ -69,7 +69,24 @@ class CuckooTable(NamedTuple):
         return self.keys.shape[0]
 
 
-@partial(jax.jit, static_argnames=("size", "max_iters"))
+def _rot_priority(idx: jnp.ndarray, it) -> jnp.ndarray:
+    """Per-round ROTATED claim priority: a fixed priority (round 1-3
+    used max-idx) makes the synchronized eviction dynamics
+    deterministic, and any eviction CYCLE then repeats identically
+    every round — a livelock whose probability grows with n (at
+    2^22, 4 of 4 random seed pairs spun past 256 rounds while
+    lucky pairs converged in 18). Rotating idx+1 by the round
+    number is bijective (still exactly one winner per slot) but
+    reshuffles the priority order every round, breaking cycles."""
+    r = it & 31
+    pr = jnp.uint32(1) + idx.astype(jnp.uint32)
+    # (32 - r) & 31 avoids the undefined shift-by-32 at r == 0
+    return jnp.where(
+        r == 0, pr, (pr << r) | (pr >> ((32 - r) & 31))
+    ).astype(jnp.uint32)  # the int32 shift count promotes the rotate
+
+
+@partial(jax.jit, static_argnames=("size", "max_iters", "compact_cap"))
 def build(
     keys: jnp.ndarray,
     size: int,
@@ -77,9 +94,30 @@ def build(
     seed2,
     max_iters: int,
     values: jnp.ndarray | None = None,
+    compact_cap: int | None = None,
 ) -> CuckooTable:
     """One build attempt (keys distinct). The host-side rebuild-on-failure
     loop lives in the dwarf, like the reference (cuckoo_hash_build.cpp:43-93).
+
+    Round-5 structure (verdict item 8): every full-set bulk round costs
+    O(n) serialized gathers/scatters (~2.3 s at 2^24), and the round-4
+    build spent 17 of them even though <1% of keys remained unplaced
+    after the first few. The build now switches phases:
+
+      1. FULL bulk rounds only while the unplaced count exceeds
+         ``compact_cap`` (default n/128) — typically 2-4 rounds at 4x
+         slots;
+      2. the unplaced (key, side) set is COMPACTED to a (compact_cap,)
+         active array, and the same claim/evict rounds continue on it —
+         displaced residents re-enter the active array in the winner's
+         slot (by value, with their other-side hash), so eviction
+         tracking no longer needs full-set residency scans; per-round
+         cost drops from O(n) to O(cap) gathers + one O(size) claims
+         pass;
+      3. the sequential eviction-chain walk (the reference's own
+         insertion semantics, cuckoo_hashtable.hpp:43-63) finishes the
+         last stragglers, now driven off the active array instead of
+         O(n) ``unplaced`` rescans per straggler.
     """
     n = keys.shape[0]
     keys = keys.astype(jnp.uint32)
@@ -88,6 +126,9 @@ def build(
     h1 = murmur3_32(keys, seed1, size).astype(jnp.int32)
     h2 = _hash2(keys, seed2, size).astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
+    if compact_cap is None:
+        compact_cap = max(1024, n >> 7)
+    cap = min(compact_cap, n)
 
     table0 = jnp.full((size,), EMPTY, dtype=jnp.uint32)
     slot0 = jnp.full((n,), -1, jnp.int32)
@@ -99,7 +140,10 @@ def build(
 
     def cond(state):
         table, slot, side, it = state
-        return jnp.logical_and(it < max_iters, ~jnp.all(resident(table, slot)))
+        return jnp.logical_and(
+            it < max_iters,
+            jnp.sum((~resident(table, slot)).astype(jnp.int32)) > cap,
+        )
 
     def body(state):
         table, slot, side, it = state
@@ -109,20 +153,7 @@ def build(
         slot = jnp.where(evicted, -1, slot)
         active = ~res
         cand = jnp.where(side == 0, h1, h2)
-        # Per-round ROTATED claim priority: a fixed priority (round 1-3
-        # used max-idx) makes the synchronized eviction dynamics
-        # deterministic, and any eviction CYCLE then repeats identically
-        # every round — a livelock whose probability grows with n (at
-        # 2^22, 4 of 4 random seed pairs spun past 256 rounds while
-        # lucky pairs converged in 18). Rotating idx+1 by the round
-        # number is bijective (still exactly one winner per slot) but
-        # reshuffles the priority order every round, breaking cycles.
-        r = it & 31
-        pr = jnp.uint32(1) + idx.astype(jnp.uint32)
-        # (32 - r) & 31 avoids the undefined shift-by-32 at r == 0
-        pr = jnp.where(
-            r == 0, pr, (pr << r) | (pr >> ((32 - r) & 31))
-        ).astype(jnp.uint32)  # the int32 shift count promotes the rotate
+        pr = _rot_priority(idx, it)
         claims = jnp.zeros((size,), jnp.uint32)
         claims = claims.at[jnp.where(active, cand, size)].max(
             pr, mode="drop"
@@ -136,7 +167,60 @@ def build(
         cond, body, (table0, slot0, side0, jnp.int32(0))
     )
 
-    # --- sequential straggler cleanup (round 4) ----------------------
+    # --- phase 2: compacted active-set rounds (round 5) ---------------
+    res = resident(table, slot)
+    n_unpl = jnp.sum((~res).astype(jnp.int32))
+    overflow = n_unpl > cap  # only if max_iters ran out above
+    if jax.default_backend() != "cpu":
+        from .compact_pallas import compact_mask_pallas
+
+        (ak0, aside0), _ = compact_mask_pallas(
+            ~res, (keys, side.astype(jnp.uint32)), capacity=cap
+        )
+    else:
+        from .primitives import compact_multi
+
+        (ak0, aside0), _ = compact_multi(
+            (keys, side.astype(jnp.uint32)), ~res, capacity=cap
+        )
+    aidx = jnp.arange(cap, dtype=jnp.int32)
+    avalid0 = aidx < jnp.minimum(n_unpl, cap)
+    ak0 = jnp.where(avalid0, ak0, EMPTY)
+
+    def cond2(state):
+        table, ak, aside, avalid, it = state
+        return jnp.logical_and(it < rounds + max_iters, jnp.any(avalid))
+
+    def body2(state):
+        table, ak, aside, avalid, it = state
+        h1a = murmur3_32(ak, seed1, size).astype(jnp.int32)
+        h2a = _hash2(ak, seed2, size).astype(jnp.int32)
+        cand = jnp.where(aside == 0, h1a, h2a)
+        pr = _rot_priority(aidx, it)
+        claims = jnp.zeros((size,), jnp.uint32)
+        claims = claims.at[jnp.where(avalid, cand, size)].max(
+            pr, mode="drop"
+        )
+        winner = avalid & (claims[cand] == pr)
+        old = table[cand]  # resident BEFORE this round's writes
+        table = table.at[jnp.where(winner, cand, size)].set(ak, mode="drop")
+        displaced = jnp.where(winner, old, EMPTY)
+        # the displaced occupant re-enters the winner's active slot, set
+        # to try its OTHER hash next (the eviction-chain step by value)
+        ns = jnp.where(
+            murmur3_32(displaced, seed1, size).astype(jnp.int32) == cand,
+            jnp.uint32(1), jnp.uint32(0),
+        )
+        ak = jnp.where(winner, displaced, ak)
+        aside = jnp.where(winner, ns, aside)
+        avalid = jnp.where(winner, displaced != EMPTY, avalid)
+        return table, ak, aside, avalid, it + 1
+
+    table, ak, aside, avalid, rounds2 = jax.lax.while_loop(
+        cond2, body2, (table, ak0, aside0, avalid0, rounds)
+    )
+
+    # --- phase 3: sequential straggler cleanup (round 4, re-driven) --
     # The synchronized rounds livelock on rare hash resonances (e.g.
     # mirrored pairs sharing both slots chase each other in lockstep —
     # at 2^22 EVERY seed pair left 1-2 stragglers for 256+ rounds, and
@@ -148,12 +232,13 @@ def build(
     # bookkeeping): place the hot key, pick up the displaced occupant,
     # flip it to its other slot, repeat until a free slot (or the chain
     # cap — genuinely unplaceable sets then fail and the host re-seeds).
-    def unplaced(tbl):
-        return (tbl[h1] != keys) & (tbl[h2] != keys)
-
+    # Round 5: the driver walks the phase-2 ACTIVE array instead of
+    # rescanning all n keys per straggler (each rescan was 2x O(n)
+    # serialized gathers); entries already chained into residency by an
+    # earlier chain's displacements start with v == EMPTY (no-op).
     chain_cap = jnp.int32(2048)
 
-    def chain(tbl, j):
+    def chain(tbl, v, s0):
         def c_cond(cs):
             v, s, t, st = cs
             return (v != EMPTY) & (st < chain_cap)
@@ -175,30 +260,39 @@ def build(
             return old, ns, t, st + 1
 
         _, _, tbl, steps = jax.lax.while_loop(
-            c_cond, c_body, (keys[j], jnp.int32(0), tbl, jnp.int32(0))
+            c_cond, c_body, (v, s0, tbl, jnp.int32(0))
         )
         return tbl, steps
 
     def s_cond(st):
-        tbl, total, stuck = st
-        return jnp.any(unplaced(tbl)) & (total < chain_cap) & ~stuck
+        tbl, av, total, stuck = st
+        return jnp.any(av) & (total < chain_cap) & ~stuck
 
     def s_body(st):
-        tbl, total, stuck = st
-        j = jnp.argmax(unplaced(tbl))
-        tbl, steps = chain(tbl, j)
+        tbl, av, total, stuck = st
+        j = jnp.argmax(av)
+        v = ak[j]
+        # skip entries a previous chain already placed (by value)
+        v1 = murmur3_32(v, seed1, size).astype(jnp.int32)
+        v2 = _hash2(v, seed2, size).astype(jnp.int32)
+        placed = (tbl[v1] == v) | (tbl[v2] == v)
+        v = jnp.where(placed, EMPTY, v)
+        tbl, steps = chain(tbl, v, aside[j].astype(jnp.int32))
+        av = av.at[j].set(False)
         # a chain that hit the cap made no progress guarantee: stop
-        return tbl, total + steps, steps >= chain_cap
+        return tbl, av, total + steps, steps >= chain_cap
 
-    table, _, _ = jax.lax.while_loop(
-        s_cond, s_body, (table, jnp.int32(0), jnp.bool_(False))
+    table, _, _, _ = jax.lax.while_loop(
+        s_cond, s_body, (table, avalid, jnp.int32(0), jnp.bool_(False))
     )
 
     # residency BY VALUE (chain moves bypass the per-key slot array)
     at1 = table[h1] == keys
     at2 = table[h2] == keys
     slot = jnp.where(at1, h1, jnp.where(at2, h2, -1))
-    success = jnp.all(slot >= 0)
+    # overflow (phase-1 max_iters exhausted with > cap unplaced) drops
+    # keys in the compaction — surface it as non-convergence either way
+    success = jnp.all(slot >= 0) & ~overflow
 
     payload: Tuple[jnp.ndarray, ...] = ()
     if values is not None:
@@ -209,7 +303,7 @@ def build(
     # merge probe needs it; one n-element sort is noise next to the
     # scatter/gather rounds above
     (keys_sorted,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
-    return CuckooTable(table, payload, seed1, seed2, success, rounds,
+    return CuckooTable(table, payload, seed1, seed2, success, rounds2,
                        keys_sorted)
 
 

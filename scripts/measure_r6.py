@@ -29,7 +29,11 @@ Groups (run as `python scripts/measure_r6.py p0 p1 ...`):
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from functools import partial
 
 import jax

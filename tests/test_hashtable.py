@@ -137,6 +137,25 @@ class TestCuckoo:
         assert bool(np.all(np.asarray(found)))
         assert np.array_equal(np.asarray(got), vals)
 
+    def test_phase_split_small_compact_cap(self, rng):
+        """Round-5 phase structure: force the full-round -> compacted
+        active-set handoff with a tiny compact_cap, and verify the build
+        still places every key with correct payloads."""
+        n = 8192
+        keys = (rng.permutation(2 * n)[:n].astype(np.uint32) + 1)
+        vals = rng.integers(1, 10000, n).astype(np.uint32)
+        t = cuckoo.build(jnp.asarray(keys), 4 * n, 3, 4, max_iters=256,
+                         values=jnp.asarray(vals), compact_cap=256)
+        assert bool(t.success)
+        found, got = cuckoo.at(t, jnp.asarray(keys))
+        assert bool(np.all(np.asarray(found)))
+        assert np.array_equal(np.asarray(got), vals)
+        # compact_cap >= n degenerates to pure phase-2 (zero full rounds)
+        t2 = cuckoo.build(jnp.asarray(keys), 4 * n, 3, 4, max_iters=256,
+                          compact_cap=n)
+        assert bool(t2.success)
+        assert bool(np.all(np.asarray(cuckoo.has(t2, jnp.asarray(keys)))))
+
     def test_each_key_at_one_of_two_slots(self, rng):
         """2-probe property: every resident key sits at h1 or h2
         (cuckoo_hashtable.hpp:29-41)."""
