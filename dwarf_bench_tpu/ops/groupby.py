@@ -176,6 +176,58 @@ def groupby_sum_2level(
 
 
 @partial(jax.jit, static_argnames=("num_groups",))
+def groupby_sum_packed_sort(
+    keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int
+):
+    """Round-5 alternative for the large-G regime: ONE single-operand
+    unstable sort of the packed ``(key << 16) | val`` word replaces the
+    n·G MXU MACs of the weighted histogram entirely — cost becomes
+    O(n log^2 n) sort + O(n) streaming, INDEPENDENT of G.
+
+    PRECONDITIONS (caller-checked): keys < 2^16 (num_groups <= 2^16) and
+    vals < 2^16. Within a group the packed sort also orders by value,
+    which is unobservable in a sum. Segment sums come from the cumsum
+    difference at group boundaries (exact mod 2^32, the uint32 oracle's
+    wrap); the <= G boundary rows are compacted and scattered to the
+    dense output (a G-element scatter — tiny next to the sort).
+
+    Reference shape: groupby/groupby.cpp:58-93 (hash aggregate). The
+    1-op sort network measured 1.75x faster than 2-op at 2^20 on v5e
+    (scripts/measure_r3.py d7), which is what makes this competitive
+    with the MAC-wall engines at G = 2^16."""
+    assert num_groups <= (1 << 16)
+    n = keys.shape[0]
+    packed = (
+        (keys.astype(jnp.uint32) << 16) | vals.astype(jnp.uint32)
+    )
+    (sp,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
+    k_s = (sp >> 16).astype(jnp.int32)
+    v_s = (sp & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    cs = jnp.cumsum(v_s, dtype=jnp.int32)  # wraps mod 2^32; diffs exact
+    is_end = jnp.concatenate([k_s[1:] != k_s[:-1], jnp.ones((1,), bool)])
+    if jax.default_backend() != "cpu":
+        from .compact_pallas import compact_mask_pallas
+
+        (ek, ecs), cnt = compact_mask_pallas(
+            is_end, (k_s, cs), capacity=num_groups
+        )
+    else:
+        from .primitives import compact_multi
+
+        (ek, ecs), cnt = compact_multi(
+            (k_s, cs), is_end, capacity=num_groups
+        )
+    valid = jnp.arange(num_groups) < cnt
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), ecs[:-1]])
+    diff = ecs - prev
+    out = jnp.zeros((num_groups + 1,), jnp.int32)
+    out = out.at[jnp.where(valid, ek, num_groups)].set(
+        jnp.where(valid, diff, 0), mode="drop"
+    )
+    return out[:num_groups].astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
 def groupby_sum_sorted(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int):
     n = keys.shape[0]
     # unstable: per-group sums are order-independent (mod-2^32 adds commute)

@@ -206,6 +206,73 @@ def d2():
         print(f"d2 lax.sort {label} 2^24: {t*1e3:.2f} ms", flush=True)
 
 
+def s1():
+    """BASELINE config #1 at its stated 0.5 selectivity (verdict item 4):
+    n = 2^20, threshold 5000 over uniform [1, 10000]. Sub-ms kernels →
+    device-looped timing."""
+    from dwarf_bench_tpu.ops import scan
+    from dwarf_bench_tpu.ops.scan_pallas import filter_pallas
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
+
+    rng = np.random.default_rng(3)
+    n = 1 << 20
+    X = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+    x = jnp.asarray(X)
+    thr = 5000
+    exp_cnt = int((X < thr).sum())
+
+    cases = {
+        "filter_xla": lambda v: scan.filter_xla(v, thr),
+        "filter_two_pass": lambda v: scan.filter_two_pass(v, thr),
+        "filter_pallas_t2048": lambda v: filter_pallas(v, thr, tile=2048),
+        "filter_pallas_t4096": lambda v: filter_pallas(v, thr, tile=4096),
+    }
+    for label, fn in cases.items():
+        got_cnt = int(_scalar(fn(x)[1]))
+        ok = got_cnt == exp_cnt
+        t = time_device_looped_inplace(
+            fn, x,
+            update=lambda a, s: (a[0].at[s & 1023].set(
+                1 + (s & 1) * 9000),),
+            fold=lambda out: (out[0][0] ^ out[1]).astype(jnp.int32),
+        )
+        print(f"s1 {label} 2^20 sel50: {t*1e6:.1f} us = "
+              f"{n/t/1e9:.2f} Grows/s count={'OK' if ok else 'BAD'}",
+              flush=True)
+
+
+def g1():
+    """groupby_big (G = 2^16) n·G-MAC engine vs the packed-sort path
+    (verdict item 3)."""
+    from dwarf_bench_tpu.ops import groupby
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
+
+    rng = np.random.default_rng(4)
+    G = 1 << 16
+    for lg in (20, 22):
+        n = 1 << lg
+        k = jnp.asarray(rng.integers(0, G, n).astype(np.uint32))
+        v = jnp.asarray(
+            rng.integers(1, 10000, n, endpoint=True).astype(np.uint32)
+        )
+        # device validation first
+        a = jax.jit(partial(groupby.groupby_sum_2level, num_groups=G))
+        b = jax.jit(partial(groupby.groupby_sum_packed_sort, num_groups=G))
+        mm = int(_scalar(jnp.sum((a(k, v) != b(k, v)).astype(jnp.int32))))
+        print(f"g1 2^{lg} packed-sort vs 2level mismatches: {mm}",
+              flush=True)
+        assert mm == 0
+        for label, fn in (("2level", a), ("packed_sort", b)):
+            t = time_device_looped_inplace(
+                fn, k, v,
+                update=lambda a2, s: (a2[0], a2[1].at[s & 1023].set(
+                    (1 + (s & 1)).astype(jnp.uint32))),
+                fold=lambda out: (out[0] & 1).astype(jnp.int32),
+            )
+            print(f"g1 {label} n=2^{lg} G=2^16: {t*1e3:.3f} ms = "
+                  f"{n/t/1e9:.2f} Grows/s", flush=True)
+
+
 if __name__ == "__main__":
     enable_persistent_compile_cache()
     print(f"device: {jax.devices()[0]}", flush=True)

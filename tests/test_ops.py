@@ -170,6 +170,16 @@ class TestGroupBy:
             got = np.asarray(fn(jnp.asarray(keys), jnp.asarray(vals), G))
             assert np.array_equal(got, exp), fn.__name__
 
+    @pytest.mark.parametrize("G", [256, 65536])
+    def test_packed_sort_large_g(self, rng, G):
+        n = 100_000
+        k = rng.integers(0, G, n).astype(np.uint32)
+        v = rng.integers(1, 10000, n).astype(np.uint32)
+        got = groupby.groupby_sum_packed_sort(jnp.asarray(k),
+                                              jnp.asarray(v), G)
+        assert np.array_equal(np.asarray(got),
+                              groupby.groupby_oracle(k, v, G))
+
     @pytest.mark.parametrize("G", [8192, 65536])
     def test_2level_large_g(self, rng, G):
         n = 50_000
