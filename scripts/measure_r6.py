@@ -134,6 +134,100 @@ def p2():
     print(f"p2 hits {nhit} / {q.shape[0]} (expect ~50%)", flush=True)
 
 
+def p3():
+    """Device-side bisect of the p2 value mismatch (found agreed, vals
+    did not): c1 device-cumsum exactness, c2 engine A/B at 2^20 with
+    compaction on/off, c3 compact_mask_pallas vs compact_multi."""
+    from dwarf_bench_tpu.ops.merge_lookup import (
+        merge_lookup, merge_lookup_bitonic,
+    )
+
+    rng = np.random.default_rng(7)
+    # c1: cumsum uint32 exactness at 2^25 — sampled vs host numpy
+    n = 1 << 25
+    X = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    x = jnp.asarray(X)
+    cs = jax.jit(lambda v: jnp.cumsum(v, dtype=jnp.uint32))(x)
+    host = np.cumsum(X, dtype=np.uint32)
+    bad = 0
+    for i in (0, 1, 127, 8191, 65536, 1 << 20, (1 << 24) + 3, n - 1):
+        got = int(np.asarray(jax.jit(lambda a, j: a[j])(cs, i)))
+        if got != int(host[i]):
+            bad += 1
+            print(f"p3 c1 cumsum MISMATCH at {i}: {got} vs {int(host[i])}",
+                  flush=True)
+    print(f"p3 c1 cumsum u32 sampled mismatches: {bad}", flush=True)
+
+    # c1b: cummax uint32 exactness (large values)
+    cm = jax.jit(jax.lax.cummax)(x)
+    hostm = np.maximum.accumulate(X)
+    badm = 0
+    for i in (0, 8191, 1 << 20, n - 1):
+        got = int(np.asarray(jax.jit(lambda a, j: a[j])(cm, i)))
+        if got != int(hostm[i]):
+            badm += 1
+    print(f"p3 c1b cummax u32 sampled mismatches: {badm}", flush=True)
+
+    # c2: engine A/B at 2^20, compact on/off
+    nt = nq = 1 << 20
+    keys = (rng.permutation(2 * nt)[:nt].astype(np.uint32) + 1)
+    vals = rng.integers(0, 1 << 32, nt, dtype=np.uint64).astype(np.uint32)
+    probes = np.concatenate([
+        keys[: nq // 2],
+        rng.integers(0, nt, nq // 2).astype(np.uint32) + np.uint32(4 * nt),
+    ])
+    rng.shuffle(probes)
+    sk, sv = _table(keys, vals)
+    q = jnp.asarray(probes)
+
+    def digest(pair):
+        f, v = pair
+        w = jnp.arange(1, f.shape[0] + 1, dtype=jnp.uint32)
+        return jnp.stack([jnp.sum(f.astype(jnp.uint32)), jnp.sum(v * w)])
+
+    d_leg = np.asarray(jax.jit(
+        lambda a, b, c: digest(merge_lookup(a, b, c)))(sk, sv, q))
+    for cf in (False, True):
+        d_bit = np.asarray(jax.jit(
+            lambda a, b, c: digest(merge_lookup_bitonic(
+                a, b, c, compact_first=cf)))(sk, sv, q))
+        print(f"p3 c2 compact={cf}: legacy={d_leg.tolist()} "
+              f"bitonic={d_bit.tolist()} "
+              f"{'OK' if np.array_equal(d_leg, d_bit) else 'MISMATCH'}",
+              flush=True)
+
+    # c3: compact engines A/B on a 50% mask (2 cols)
+    from dwarf_bench_tpu.ops.compact_pallas import compact_mask_pallas
+    from dwarf_bench_tpu.ops.primitives import compact_multi
+
+    m = 1 << 21
+    colA = jnp.asarray(
+        rng.integers(0, 1 << 32, m, dtype=np.uint64).astype(np.uint32))
+    colB = jnp.asarray(
+        rng.integers(0, 1 << 32, m, dtype=np.uint64).astype(np.uint32))
+    # ~40% density so the 2^20 capacity is not overrun (garbage past
+    # count is allowed to differ between the engines)
+    mask = jnp.asarray((rng.integers(0, 10, m) < 4))
+
+    def dig2(cols, cnt):
+        a, b = cols
+        w = jnp.arange(1, a.shape[0] + 1, dtype=jnp.uint32)
+        keep = jnp.arange(a.shape[0]) < cnt
+        a = jnp.where(keep, a, 0)
+        b = jnp.where(keep, b, 0)
+        return jnp.stack([jnp.sum(a * w), jnp.sum(b * w),
+                          cnt.astype(jnp.uint32)])
+
+    dp = np.asarray(jax.jit(lambda ms, a, b: dig2(
+        *compact_mask_pallas(ms, (a, b), capacity=1 << 20)))(
+            mask, colA, colB))
+    dm = np.asarray(jax.jit(lambda ms, a, b: dig2(
+        *compact_multi((a, b), ms, capacity=1 << 20)))(
+            mask, colA, colB))
+    print(f"p3 c3 compact pallas={dp.tolist()} multi={dm.tolist()} "
+          f"{'OK' if np.array_equal(dp, dm) else 'MISMATCH'}", flush=True)
+
+
 def d1():
     from dwarf_bench_tpu.ops.bitonic import merge_bitonic
 
