@@ -56,10 +56,19 @@ BYTES_PER_ROW: Dict[str, float] = {
 #   reduce      2^24: pure HBM read (819 GB/s / 4 B)
 # v5e numbers (mixed VPU/MXU/BW walls — they do NOT scale with HBM
 # bandwidth alone); revise alongside docs/performance.md.
+#   groupby round-5 recalibration (verdict item 5): the Mosaic dump of
+#   the G=64 kernel (scripts/dump_mosaic.py, docs/performance.md §
+#   "The operand-staging wall, mechanized") REFUTES the VMEM-staging
+#   hypothesis — operands stay in registers (2 vector.loads per row) —
+#   and shows the real floor: ~16 full-width (8, 4096) VPU ops per row
+#   constructing the one-hots/value planes for two M=N=8 matmuls. The
+#   measured 185-215 ns/row already implies ~2.5-3 vreg-ops/cycle
+#   retirement, so the construction-op count IS the wall: ceiling ≈
+#   25 G, not the 40 G the round-4 bound guessed.
 ACHIEVABLE_ROWS_PER_S: Dict[str, float] = {
     "scan": 76.0e9,
     "radix": 9.5e9,
-    "groupby": 40.0e9,
+    "groupby": 25.0e9,
     "groupby_big": 1.7e9,
     "join": 0.70e9,
     "reduce": 204.8e9,
