@@ -209,6 +209,10 @@ def merge_lookup_bitonic(
             (dest, val), _ = compact_multi(
                 (dest, val), is_real_q, capacity=nq
             )
+        # compact_mask_pallas returns int32 columns; restore the uint32
+        # contract (bit patterns unchanged — compacted dests are < 2^25)
+        dest = dest.astype(jnp.uint32)
+        val = val.astype(jnp.uint32)
     sd, sval = jax.lax.sort((dest, val), num_keys=1, is_stable=False)
     sd, sval = sd[:nq], sval[:nq]
     found_out = (sd & jnp.uint32(1)) == 1

@@ -113,6 +113,7 @@ def p2():
     def digest(pair):
         f, v = pair
         w = jnp.arange(1, f.shape[0] + 1, dtype=jnp.uint32)
+        v = v.astype(jnp.uint32)
         return jnp.stack([
             jnp.sum(f.astype(jnp.uint32)),
             jnp.sum(v * w),
@@ -183,6 +184,7 @@ def p3():
     def digest(pair):
         f, v = pair
         w = jnp.arange(1, f.shape[0] + 1, dtype=jnp.uint32)
+        v = v.astype(jnp.uint32)
         return jnp.stack([jnp.sum(f.astype(jnp.uint32)), jnp.sum(v * w)])
 
     d_leg = np.asarray(jax.jit(
@@ -210,7 +212,7 @@ def p3():
     mask = jnp.asarray((rng.integers(0, 10, m) < 4))
 
     def dig2(cols, cnt):
-        a, b = cols
+        a, b = (c.astype(jnp.uint32) for c in cols)
         w = jnp.arange(1, a.shape[0] + 1, dtype=jnp.uint32)
         keep = jnp.arange(a.shape[0]) < cnt
         a = jnp.where(keep, a, 0)
@@ -226,6 +228,48 @@ def p3():
             mask, colA, colB))
     print(f"p3 c3 compact pallas={dp.tolist()} multi={dm.tolist()} "
           f"{'OK' if np.array_equal(dp, dm) else 'MISMATCH'}", flush=True)
+
+
+def p4():
+    """Bisect the compact_mask_pallas 2-col corruption (p3 c3): onset
+    size, column count, and the shape of the first divergence."""
+    from dwarf_bench_tpu.ops.compact_pallas import compact_mask_pallas
+    from dwarf_bench_tpu.ops.primitives import compact_multi
+
+    rng = np.random.default_rng(11)
+    for lg in (15, 17, 19, 21):
+        m = 1 << lg
+        cap = 1 << (lg - 1)
+        colA = jnp.asarray(
+            rng.integers(0, 1 << 32, m, dtype=np.uint64).astype(np.uint32)
+            .astype(np.int32))
+        colB = jnp.asarray(
+            rng.integers(0, 1 << 32, m, dtype=np.uint64).astype(np.uint32)
+            .astype(np.int32))
+        mask = jnp.asarray((rng.integers(0, 10, m) < 4))
+        for nc in (1, 2):
+            cols = (colA,) if nc == 1 else (colA, colB)
+            p_out, p_cnt = jax.jit(partial(
+                compact_mask_pallas, capacity=cap))(mask, cols)
+            m_out, m_cnt = jax.jit(partial(
+                compact_multi, capacity=cap))(cols, mask)
+            stat = []
+            for ci in range(nc):
+                keep = jnp.arange(cap) < p_cnt
+                diff = jnp.where(
+                    keep, (p_out[ci] != m_out[ci]).astype(jnp.int32), 0)
+                nbad = int(_scalar(jnp.sum(diff).reshape(1)))
+                first = int(_scalar(jnp.argmax(diff).reshape(1)))
+                stat.append((nbad, first))
+            print(f"p4 m=2^{lg} ncols={nc} cnt={int(_scalar(p_cnt.reshape(1)))}"
+                  f" bad/first per col: {stat}", flush=True)
+            if nc == 2 and stat[1][0]:
+                f0 = stat[1][1]
+                for j in range(max(0, f0 - 2), min(cap, f0 + 4)):
+                    pv = int(_scalar(p_out[1][j].reshape(1)))
+                    mv = int(_scalar(m_out[1][j].reshape(1)))
+                    print(f"p4   colB[{j}]: pallas={pv & 0xFFFFFFFF:#x} "
+                          f"ref={mv & 0xFFFFFFFF:#x}", flush=True)
 
 
 def d1():
