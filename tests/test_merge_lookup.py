@@ -182,3 +182,42 @@ def test_cuckoo_has_engines_agree(rng):
         tbl.keys_sorted, jnp.zeros_like(tbl.keys_sorted), jnp.asarray(q)
     )
     assert np.array_equal(got, np.asarray(f_m))
+
+
+class TestBitonicNetwork:
+    @pytest.mark.parametrize("n", [256, 1024, 16384])
+    @pytest.mark.parametrize("split", [0.0, 0.3, 0.5, 0.97])
+    def test_merge_sorts_bitonic_input(self, rng, n, split):
+        from dwarf_bench_tpu.ops.bitonic import merge_bitonic
+
+        a = int(n * split)
+        keys = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(
+            np.uint32)
+        asc = np.sort(keys[:a])
+        desc = np.sort(keys[a:])[::-1]
+        k = np.concatenate([asc, desc])
+        aux = rng.permutation(n).astype(np.uint32)  # unique tiebreak
+        # aux must make the input monotone under the composite order:
+        # re-sort each half by (key, aux)
+        half1 = np.lexsort((aux[:a], k[:a]))
+        half2 = np.lexsort((aux[a:], k[a:]))[::-1]
+        k = np.concatenate([k[:a][half1], k[a:][half2]])
+        aux = np.concatenate([aux[:a][half1], aux[a:][half2]])
+        payload = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(
+            np.uint32)
+        ks, as_, ps = merge_bitonic(
+            (jnp.asarray(k), jnp.asarray(aux), jnp.asarray(payload)))
+        order = np.lexsort((aux, k))
+        assert np.array_equal(np.asarray(ks), k[order])
+        assert np.array_equal(np.asarray(as_), aux[order])
+        assert np.array_equal(np.asarray(ps), payload[order])
+
+    def test_merge_single_key_column(self, rng):
+        from dwarf_bench_tpu.ops.bitonic import merge_bitonic
+
+        n = 4096
+        keys = rng.integers(0, 1000, n).astype(np.uint32)  # many ties
+        k = np.concatenate([np.sort(keys[: n // 2]),
+                            np.sort(keys[n // 2:])[::-1]])
+        (ks,) = merge_bitonic((jnp.asarray(k),), num_cmp=1)
+        assert np.array_equal(np.asarray(ks), np.sort(k))
