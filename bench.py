@@ -242,6 +242,33 @@ def main() -> None:
     # headline components but do NOT enter the geomean (cross-round
     # comparability).
 
+    def run_scan_sel50_extra():
+        # BASELINE config #1 AT ITS STATED SELECTIVITY (round-5 verdict
+        # item 4): 2^20 rows, threshold 5000 over uniform [1, 10000] —
+        # a 0.5-selectivity dense compaction. Engine: the Pallas
+        # streaming butterfly at tile=4096 (measured best: 5.17 G vs
+        # 4.53 at tile=2048; filter_xla's scatter path serializes on
+        # TPU at 0.21 G — measure_r6 s1). Non-geomean extra.
+        from dwarf_bench_tpu.ops.scan_pallas import filter_pallas
+
+        n = 1 << 20
+        x = jax.device_put(
+            rng.integers(1, 10000, n, endpoint=True).astype(np.int32),
+            device,
+        )
+        fn = (
+            (lambda v: filter_pallas(v, 5000, tile=4096))
+            if on_accel else (lambda v: scan.filter_two_pass(v, 5000))
+        )
+        t = _time_dev(
+            fn, x,
+            update=lambda a, s: (a[0].at[s & 1023].set(
+                1 + (s & 1) * 9000),),
+            fold=lambda out: (out[0][0] ^ out[1]).astype(jnp.int32),
+        )
+        extras["scan_sel50_rows_per_s"] = round(n / t)
+        extras["scan_sel50_ms"] = round(t * 1e3, 4)
+
     def run_reduce_extra():
         from dwarf_bench_tpu.ops import reduce as reduce_ops
         from dwarf_bench_tpu.utils.roofline import ACHIEVABLE_ROWS_PER_S
@@ -344,6 +371,7 @@ def main() -> None:
         ("scan", run_scan, 700 if on_accel else 20),
     ]
     extra_components = [
+        ("scan_sel50_extra", run_scan_sel50_extra, 240 if on_accel else 10),
         ("reduce_extra", run_reduce_extra, 120 if on_accel else 10),
         ("hash2p24_extra", run_hash2p24_extra, 600 if on_accel else 30),
     ]

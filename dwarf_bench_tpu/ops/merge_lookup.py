@@ -170,28 +170,56 @@ def merge_lookup_bitonic(
         [aux_t, jnp.full((npad,), 0xFFFFFFFF, jnp.uint32),
          jnp.flip(_TAG | qidx)]
     )
-    merged = merge_bitonic((keys_all, aux_all) + extra, num_cmp=2)
+    if jax.default_backend() != "cpu":
+        # two-pass streaming kernel: the XLA stage-by-stage network
+        # measured 101/159 ms (2/3-col) at 2^25 — 15x its bandwidth
+        # model — because the stages materialize (measure_r6 d1)
+        from .bitonic_pallas import merge_bitonic_pallas
+
+        merged = merge_bitonic_pallas(
+            (keys_all, aux_all) + extra, num_cmp=2
+        )
+    else:
+        merged = merge_bitonic((keys_all, aux_all) + extra, num_cmp=2)
     sk, sa = merged[0], merged[1]
 
-    is_src = (sa & _TAG) == 0
-    nsrc = jnp.cumsum(is_src.astype(jnp.int32))
-    carry_key = jax.lax.cummax(jnp.where(is_src, sk, jnp.uint32(0)))
-    found = (~is_src) & (nsrc > 0) & (carry_key == sk) & (sk != EMPTY)
-    if membership:
-        val = jnp.zeros_like(sk)
-    elif val_bits == 16:
-        sv = jnp.where(is_src, sa & jnp.uint32(0xFFFF), jnp.uint32(0))
-        val = jnp.cumsum(sv, dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+    if (
+        jax.default_backend() != "cpu"
+        and n_pow2 % (8 * 4096) == 0
+    ):
+        # fused fill: all scans + glue in ONE streaming pass (the XLA
+        # form costs ~38 ms at 2^25 — cummax alone 24; measure_r6 d1)
+        from .merge_fill_pallas import merge_fill_pallas
+
+        dest, val = merge_fill_pallas(
+            sk, sa,
+            None if (membership or val_bits == 16) else merged[2],
+            nq, val16=(val_bits == 16 and not membership),
+            membership=membership,
+        )
+        is_real_q = dest != jnp.uint32(0xFFFFFFFF)
     else:
-        sv = jnp.where(is_src, merged[2], jnp.uint32(0))
-        val = jnp.cumsum(sv, dtype=jnp.uint32)
-    qp = sa & jnp.uint32(0x7FFFFFFF)
-    is_real_q = (~is_src) & (qp < jnp.uint32(nq))
-    dest = jnp.where(
-        is_real_q, (qp << 1) | found.astype(jnp.uint32),
-        jnp.uint32(0xFFFFFFFF),
-    )
-    val = jnp.where(found, val, jnp.uint32(0))
+        is_src = (sa & _TAG) == 0
+        nsrc = jnp.cumsum(is_src.astype(jnp.int32))
+        carry_key = jax.lax.cummax(jnp.where(is_src, sk, jnp.uint32(0)))
+        found = (
+            (~is_src) & (nsrc > 0) & (carry_key == sk) & (sk != EMPTY)
+        )
+        if membership:
+            val = jnp.zeros_like(sk)
+        elif val_bits == 16:
+            sv = jnp.where(is_src, sa & jnp.uint32(0xFFFF), jnp.uint32(0))
+            val = jnp.cumsum(sv, dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+        else:
+            sv = jnp.where(is_src, merged[2], jnp.uint32(0))
+            val = jnp.cumsum(sv, dtype=jnp.uint32)
+        qp = sa & jnp.uint32(0x7FFFFFFF)
+        is_real_q = (~is_src) & (qp < jnp.uint32(nq))
+        dest = jnp.where(
+            is_real_q, (qp << 1) | found.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        val = jnp.where(found, val, jnp.uint32(0))
 
     if compact_first is None:
         compact_first = jax.default_backend() != "cpu"

@@ -322,6 +322,36 @@ def d1():
     print(f"d1 sort2-nocompact (2-op 2^25): {t*1e3:.2f} ms", flush=True)
 
 
+def d1m():
+    """Pallas two-phase merge alone at 2^25 (vs d1's XLA 101/159 ms)."""
+    from dwarf_bench_tpu.ops.bitonic_pallas import merge_bitonic_pallas
+
+    rng = np.random.default_rng(1)
+    N = 1 << 25
+    big = jnp.asarray(rng.integers(0, 1 << 32, N, dtype=np.uint64)
+                      .astype(np.uint32))
+    asc = jax.jit(lambda v: jax.lax.sort(v))(big[: N // 2])
+    desc = jnp.flip(jax.jit(lambda v: jax.lax.sort(v))(big[N // 2:]))
+    kb = jnp.concatenate([asc, desc])
+    aux = jnp.arange(N, dtype=jnp.uint32)
+    extra = jnp.flip(aux)
+    f2 = jax.jit(lambda k, a: merge_bitonic_pallas((k, a), num_cmp=2))
+    f3 = jax.jit(
+        lambda k, a, e: merge_bitonic_pallas((k, a, e), num_cmp=2))
+    # device validation vs the XLA network
+    from dwarf_bench_tpu.ops.bitonic import merge_bitonic
+    ref = jax.jit(lambda k, a: merge_bitonic((k, a), num_cmp=2))(kb, aux)
+    got = f2(kb, aux)
+    mm = int(_scalar(sum(
+        jnp.sum((r != g).astype(jnp.int32)) for r, g in zip(ref, got)
+    ).reshape(1)))
+    print(f"d1m pallas-vs-xla merge mismatches: {mm}", flush=True)
+    t2 = time_amortized(f2, kb, aux)
+    print(f"d1m pallas merge 2-col 2^25: {t2*1e3:.2f} ms", flush=True)
+    t3 = time_amortized(f3, kb, aux, extra)
+    print(f"d1m pallas merge 3-col 2^25: {t3*1e3:.2f} ms", flush=True)
+
+
 def d2():
     rng = np.random.default_rng(2)
     n = 1 << 24
@@ -342,6 +372,84 @@ def d2():
     for label, fn in cases.items():
         t = time_amortized(fn, a, b, c)
         print(f"d2 lax.sort {label} 2^24: {t*1e3:.2f} ms", flush=True)
+
+
+def s2():
+    """Scan at the bench config (2^24, sel 4e-4) with the host-checked
+    assume_sparse dispatch (verdict item 2): the cond tax should be gone
+    — expect >= 72 G."""
+    from dwarf_bench_tpu.ops import scan
+    from dwarf_bench_tpu.utils.timing import time_device_looped_inplace
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    X = rng.integers(1, 10000, n, endpoint=True).astype(np.int32)
+    x = jnp.asarray(X)
+    assert scan.sparse_caps_ok(X)
+    for label, fn in (
+        ("cond", scan.filter_sparse),
+        ("assume_sparse", partial(scan.filter_sparse, assume_sparse=True)),
+    ):
+        t = time_device_looped_inplace(
+            fn, x,
+            update=lambda a, s: (a[0].at[s & 1023].set(
+                1 + (s & 1) * 9999),),
+            fold=lambda out: (out[0][0] ^ out[1]).astype(jnp.int32),
+        )
+        print(f"s2 scan {label} 2^24: {t*1e3:.3f} ms = "
+              f"{n/t/1e9:.1f} Grows/s", flush=True)
+
+
+def c1():
+    """Cuckoo phase-split build at 2^24 (verdict item 8): wall time +
+    rounds; target <= 10 s from 38.9."""
+    import time as _time
+
+    from dwarf_bench_tpu.ops import cuckoo
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    keys = (rng.permutation(2 * n)[:n].astype(np.uint32) + 1)
+    dk = jnp.asarray(keys)
+    t0 = _time.time()
+    tbl, t_try = timed(
+        cuckoo.build, dk, 4 * n, np.uint32(0x9E3779B9),
+        np.uint32(0x85EBCA6B), 256,
+    )
+    t_first = _time.time() - t0  # includes compile
+    _, t_warm = timed(
+        cuckoo.build, dk, 4 * n, np.uint32(0x9E3779B9),
+        np.uint32(0x85EBCA6B), 256,
+    )
+    print(f"c1 cuckoo build 2^24: warm {t_warm:.2f} s (first incl "
+          f"compile {t_first:.1f}) rounds={int(_scalar(tbl.rounds))} "
+          f"success={bool(_scalar(tbl.success))}", flush=True)
+    # device validation: every key found via the 2-probe path at h1/h2
+    q = dk
+    h1 = cuckoo.murmur3_32(q, tbl.seed1, 4 * n).astype(jnp.int32)
+    h2 = cuckoo._hash2(q, tbl.seed2, 4 * n).astype(jnp.int32)
+    miss = int(_scalar(jnp.sum(
+        ((tbl.keys[h1] != q) & (tbl.keys[h2] != q)).astype(jnp.int32)
+    ).reshape(1)))
+    print(f"c1 unplaced-by-value: {miss}", flush=True)
+
+
+def p5():
+    """Slab-probe e2e at the bench config via bucket_hash.find
+    (engine auto -> bitonic merge, val_bits=16)."""
+    from dwarf_bench_tpu.ops import bucket_hash
+
+    keys, vals, probes = _data()
+    n = probes.shape[0]
+    nb = bucket_hash.calculate_buckets_count(n)
+    tbl, _ = timed(jax.jit(partial(bucket_hash.build, num_buckets=nb)),
+                   jnp.asarray(keys), jnp.asarray(vals))
+    dp = jnp.asarray(probes)
+    fn = jax.jit(partial(bucket_hash.find, val_bits=16))
+    _, _ = timed(fn, tbl, dp)
+    t = min(timed(fn, tbl, dp)[1] for _ in range(3))
+    print(f"p5 bucket_hash.find (bitonic v16) 2^24: {t*1e3:.1f} ms = "
+          f"{n/t/1e9:.3f} Grows/s", flush=True)
 
 
 def s1():
