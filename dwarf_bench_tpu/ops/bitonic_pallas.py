@@ -75,14 +75,17 @@ def _cascade(cols, ncmp, axis, size, max_stride):
     return cols
 
 
-def _phase_kernel(ncols, ncmp, axis, size, max_stride):
+def _phase_kernel(ncols, ncmp, cascades):
+    """``cascades``: list of (axis, size, max_stride) run in order."""
+
     def kernel(*refs):
         ins = refs[:ncols]
         outs = refs[ncols:]
         cols = [r[...] for r in ins]
         for c in range(min(ncmp, ncols)):
             cols[c] = cols[c] ^ _BIAS
-        cols = _cascade(cols, ncmp, axis, size, max_stride)
+        for axis, size, max_stride in cascades:
+            cols = _cascade(cols, ncmp, axis, size, max_stride)
         for c in range(ncols):
             if c < ncmp:
                 cols[c] = cols[c] ^ _BIAS
@@ -105,43 +108,55 @@ def merge_bitonic_pallas(cols, num_cmp: int = 2, interpret: bool = False,
     cols = tuple(cols)
     n = cols[0].shape[0]
     assert n & (n - 1) == 0
-    if n < (1 << 17):
-        return merge_bitonic(cols, num_cmp=num_cmp)
     ncols = len(cols)
     if lanes is None:
-        lanes = max(16384, n // 2048)
+        # scoped-VMEM budget (measured OOMs, batch 5/6): the pass-2
+        # block is (8, c_w) × ncols × ~4 buffers -> c_w = 16384 fits 2
+        # columns, 8192 fits 3. Pass 2 also runs the sublane strides
+        # (4c_w, 2c_w, c_w) inside its 8-row block, so pass 1 only
+        # needs strides >= 8·c_w: its (r_h, 128) column blocks stay
+        # small (r_h = n / 8c_w).
+        lanes = 16384 if ncols <= 2 else 8192
     c_w = lanes
+    c1 = 8 * c_w
     r_h = n // c_w
+    if n < 2 * c1:  # too small for the two-pass split
+        return merge_bitonic(cols, num_cmp=num_cmp)
     dtypes = [c.dtype for c in cols]
     cols2 = [
-        jax.lax.bitcast_convert_type(c, jnp.int32).reshape(r_h, c_w)
+        jax.lax.bitcast_convert_type(c, jnp.int32).reshape(n // c1, c1)
         for c in cols
     ]
 
-    # pass 1: column cascade (global strides n/2 .. c_w)
+    # pass 1: column cascade over the (n/8c_w, 8c_w) view — global
+    # strides n/2 .. 8c_w
+    r1 = n // c1
     outs = pl.pallas_call(
-        _phase_kernel(ncols, num_cmp, 0, r_h, r_h // 2),
-        grid=(c_w // 128,),
+        _phase_kernel(ncols, num_cmp, [(0, r1, r1 // 2)]),
+        grid=(c1 // 128,),
         in_specs=[
-            pl.BlockSpec((r_h, 128), lambda g: (0, g),
+            pl.BlockSpec((r1, 128), lambda g: (0, g),
                          memory_space=pltpu.VMEM)
         ] * ncols,
         out_specs=tuple(
-            pl.BlockSpec((r_h, 128), lambda g: (0, g),
+            pl.BlockSpec((r1, 128), lambda g: (0, g),
                          memory_space=pltpu.VMEM)
             for _ in range(ncols)
         ),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((r_h, c_w), jnp.int32)
+            jax.ShapeDtypeStruct((r1, c1), jnp.int32)
             for _ in range(ncols)
         ),
         interpret=interpret,
     )(*cols2)
     outs = outs if isinstance(outs, tuple) else (outs,)
 
-    # pass 2: lane cascade (strides c_w/2 .. 1) per row
+    # pass 2 on the (n/c_w, c_w) view: sublane strides 4..1 (global
+    # 4c_w .. c_w) within each aligned 8-row block, then the lane
+    # cascade (global c_w/2 .. 1)
+    outs = tuple(o.reshape(r_h, c_w) for o in outs)
     outs = pl.pallas_call(
-        _phase_kernel(ncols, num_cmp, 1, c_w, c_w // 2),
+        _phase_kernel(ncols, num_cmp, [(0, 8, 4), (1, c_w, c_w // 2)]),
         grid=(r_h // 8,),
         in_specs=[
             pl.BlockSpec((8, c_w), lambda g: (g, 0),

@@ -352,6 +352,25 @@ def d1m():
     print(f"d1m pallas merge 3-col 2^25: {t3*1e3:.2f} ms", flush=True)
 
 
+def d1c():
+    """compact_mask_pallas tile sweep at 2^25 -> 2^24 (the 14.31 ms
+    reading at tile=2048 looks op-bound, not BW-bound)."""
+    from dwarf_bench_tpu.ops.compact_pallas import compact_mask_pallas
+
+    rng = np.random.default_rng(1)
+    N = 1 << 25
+    colA = jnp.asarray(rng.integers(0, 1 << 32, N, dtype=np.uint64)
+                       .astype(np.uint32).astype(np.int32))
+    colB = jnp.asarray(rng.integers(0, 1 << 32, N, dtype=np.uint64)
+                       .astype(np.uint32).astype(np.int32))
+    mask = jnp.asarray((jnp.arange(N) & 1) == 0)
+    for tile in (2048, 4096, 8192):
+        fc = jax.jit(partial(compact_mask_pallas, capacity=1 << 24,
+                             tile=tile))
+        t = time_amortized(fc, mask, (colA, colB))
+        print(f"d1c compact tile={tile}: {t*1e3:.2f} ms", flush=True)
+
+
 def d2():
     rng = np.random.default_rng(2)
     n = 1 << 24
