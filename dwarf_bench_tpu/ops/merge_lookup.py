@@ -223,25 +223,30 @@ def merge_lookup_bitonic(
 
     if compact_first is None:
         compact_first = jax.default_backend() != "cpu"
+    cols_u = (dest,) if membership else (dest, val)
     if compact_first:
-        # every real query appears exactly once, so capacity == count
+        # every real query appears exactly once, so capacity == count;
+        # membership drops the value column entirely (1-col compaction
+        # + 1-operand unsort: 18 vs 32 ms at 2^24 — measure_r6 d2)
         if jax.default_backend() != "cpu":
             from .compact_pallas import compact_mask_pallas
 
-            (dest, val), _ = compact_mask_pallas(
-                is_real_q, (dest, val), capacity=nq
+            cols_c, _ = compact_mask_pallas(
+                is_real_q, cols_u, capacity=nq
             )
         else:
             from .primitives import compact_multi
 
-            (dest, val), _ = compact_multi(
-                (dest, val), is_real_q, capacity=nq
-            )
+            cols_c, _ = compact_multi(cols_u, is_real_q, capacity=nq)
         # compact_mask_pallas returns int32 columns; restore the uint32
         # contract (bit patterns unchanged — compacted dests are < 2^25)
-        dest = dest.astype(jnp.uint32)
-        val = val.astype(jnp.uint32)
-    sd, sval = jax.lax.sort((dest, val), num_keys=1, is_stable=False)
+        cols_u = tuple(c.astype(jnp.uint32) for c in cols_c)
+    if membership:
+        (sd,) = jax.lax.sort(cols_u, num_keys=1, is_stable=False)
+        sd = sd[:nq]
+        found_out = (sd & jnp.uint32(1)) == 1
+        return found_out, jnp.zeros((nq,), jnp.uint32)
+    sd, sval = jax.lax.sort(cols_u, num_keys=1, is_stable=False)
     sd, sval = sd[:nq], sval[:nq]
     found_out = (sd & jnp.uint32(1)) == 1
     return found_out, jnp.where(found_out, sval, jnp.uint32(0))
