@@ -352,6 +352,30 @@ def d1m():
     print(f"d1m pallas merge 3-col 2^25: {t3*1e3:.2f} ms", flush=True)
 
 
+def d1f():
+    """merge_fill_pallas standalone at 2^25 (never measured — the p1
+    end-to-end exceeds the other stages' sum by ~30 ms)."""
+    from dwarf_bench_tpu.ops.merge_fill_pallas import merge_fill_pallas
+
+    rng = np.random.default_rng(5)
+    N = 1 << 25
+    sk = jnp.asarray(np.sort(
+        rng.integers(0, 1 << 32, N, dtype=np.uint64).astype(np.uint32)))
+    sa = jnp.asarray(
+        rng.integers(0, 1 << 32, N, dtype=np.uint64).astype(np.uint32))
+    dv = jnp.asarray(
+        rng.integers(0, 1 << 32, N, dtype=np.uint64).astype(np.uint32))
+    for label, kw, use_dv in (
+        ("v16", dict(val16=True), False),
+        ("v32", dict(), True),
+        ("member", dict(membership=True), False),
+    ):
+        fn = jax.jit(partial(merge_fill_pallas, nq=N // 2, **kw))
+        args = (sk, sa, dv if use_dv else None)
+        t = time_amortized(fn, *args)
+        print(f"d1f fill {label} 2^25: {t*1e3:.2f} ms", flush=True)
+
+
 def d1c():
     """compact_mask_pallas tile sweep at 2^25 -> 2^24 (the 14.31 ms
     reading at tile=2048 looks op-bound, not BW-bound)."""
