@@ -183,6 +183,10 @@ def build(
         (ak0, aside0), _ = compact_multi(
             (keys, side.astype(jnp.uint32)), ~res, capacity=cap
         )
+    # compact_mask_pallas returns int32 columns — restore uint32 (the
+    # while_loop carries and the table scatter are uint32)
+    ak0 = ak0.astype(jnp.uint32)
+    aside0 = aside0.astype(jnp.uint32)
     aidx = jnp.arange(cap, dtype=jnp.int32)
     avalid0 = aidx < jnp.minimum(n_unpl, cap)
     ak0 = jnp.where(avalid0, ak0, EMPTY)
