@@ -113,7 +113,11 @@ def _slab(n, dk, dv, dp, half, validate, log, csv_row, timed,
     log(f"slab build: {t_build*1e3:.1f} ms (buckets={nb}; "
         f"compile+first {t0:.1f} s); "
         f"{n/t_build/1e9:.3f} Grows/s")
-    find = jax.jit(bucket_hash.find)
+    # val_bits=16 is host knowledge (values are [1, 10000]) — the same
+    # convention as the radix range check; drops the third merge column
+    from functools import partial
+
+    find = jax.jit(partial(bucket_hash.find, val_bits=16))
     found, _ = find(tbl, dp)
     assert validate(found), "slab 50%-hit probe validation failed"
     for it in range(9):
