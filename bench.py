@@ -358,8 +358,18 @@ def main() -> None:
         extras["cuckoo_build_2p24_rounds"] = int(tbl.rounds)
         extras["cuckoo_build_2p24_attempts"] = attempt + 1
         extras["cuckoo_build_2p24_converged"] = bool(tbl.success)
+        # warm build = the engine truth (the first call above carries
+        # the remote compile; round-5 phase-split build: 7.0 s warm at
+        # 2^24 vs 38.9 in round 4 — measure_r6 c1)
+        _, t_warm = timed(
+            cuckoo.build, dk, ht_size,
+            np.uint32(0x9E3779B9 + attempt),
+            np.uint32(0x85EBCA6B + 2 * attempt), max_iters,
+        )
+        extras["cuckoo_build_2p24_warm_ms"] = round(t_warm * 1e3, 1)
         t_has = _time_op(jax.jit(cuckoo.has), tbl, dp, repeats=1)
         extras["cuckoo_probe_hit50_2p24_ms"] = round(t_has * 1e3, 2)
+        extras["cuckoo_probe_hit50_rows_per_s"] = round(n / t_has)
 
     # (name, runner, minimum seconds of budget to attempt it —
     # remote-compile estimates on the accelerator; CPU compiles are fast)

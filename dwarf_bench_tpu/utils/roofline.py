@@ -65,8 +65,12 @@ BYTES_PER_ROW: Dict[str, float] = {
 #   measured 185-215 ns/row already implies ~2.5-3 vreg-ops/cycle
 #   retirement, so the construction-op count IS the wall: ceiling ≈
 #   25 G, not the 40 G the round-4 bound guessed.
+#   scan round-5: the cond tax is gone (host-checked assume_sparse
+#   dispatch, measured 0.219 ms = 76.8 G at 2^24) — the bound moves to
+#   the remaining stage floor: stats 0.065 + tail 0.10 + gather 0.034
+#   + glue ≈ 0.21 ms ≈ 80 G.
 ACHIEVABLE_ROWS_PER_S: Dict[str, float] = {
-    "scan": 76.0e9,
+    "scan": 80.0e9,
     "radix": 9.5e9,
     "groupby": 25.0e9,
     "groupby_big": 1.7e9,
