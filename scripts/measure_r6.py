@@ -376,6 +376,54 @@ def d1f():
         print(f"d1f fill {label} 2^25: {t*1e3:.2f} ms", flush=True)
 
 
+def d1g():
+    """Glue attribution: the v16 pipeline sums 35+9+5+13+32 = 94 ms of
+    stages but measures 117 end-to-end — time ablated prefixes."""
+    from dwarf_bench_tpu.ops.bitonic_pallas import merge_bitonic_pallas
+    from dwarf_bench_tpu.ops.merge_fill_pallas import merge_fill_pallas
+
+    keys, vals, probes = _data()
+    sk_t, sv_t = _table(keys, vals)
+    q = jnp.asarray(probes)
+    nq = probes.shape[0]
+    TAG = np.uint32(0x80000000)
+
+    def upto_sortq(tk, tv, qq):
+        qi = jnp.arange(nq, dtype=jnp.uint32)
+        qs, qidx = jax.lax.sort((qq, qi), num_keys=2, is_stable=False)
+        return jnp.sum(qs) + jnp.sum(qidx)
+
+    def upto_merge(tk, tv, qq):
+        qi = jnp.arange(nq, dtype=jnp.uint32)
+        qs, qidx = jax.lax.sort((qq, qi), num_keys=2, is_stable=False)
+        dv = (tv - jnp.roll(tv, 1)).at[0].set(tv[0])
+        keys_all = jnp.concatenate([tk, jnp.flip(qs)])
+        aux_all = jnp.concatenate(
+            [dv & jnp.uint32(0xFFFF), jnp.flip(TAG | qidx)]
+        )
+        m = merge_bitonic_pallas((keys_all, aux_all), num_cmp=2)
+        return jnp.sum(m[0]) + jnp.sum(m[1])
+
+    def upto_fill(tk, tv, qq):
+        qi = jnp.arange(nq, dtype=jnp.uint32)
+        qs, qidx = jax.lax.sort((qq, qi), num_keys=2, is_stable=False)
+        dv = (tv - jnp.roll(tv, 1)).at[0].set(tv[0])
+        keys_all = jnp.concatenate([tk, jnp.flip(qs)])
+        aux_all = jnp.concatenate(
+            [dv & jnp.uint32(0xFFFF), jnp.flip(TAG | qidx)]
+        )
+        m = merge_bitonic_pallas((keys_all, aux_all), num_cmp=2)
+        dest, val = merge_fill_pallas(m[0], m[1], None, nq, val16=True)
+        return jnp.sum(dest) + jnp.sum(val)
+
+    for label, fn in (("sortQ", upto_sortq), ("merge", upto_merge),
+                      ("fill", upto_fill)):
+        f = jax.jit(fn)
+        _, _ = timed(f, sk_t, sv_t, q)
+        t = min(timed(f, sk_t, sv_t, q)[1] for _ in range(3))
+        print(f"d1g upto-{label}: {t*1e3:.1f} ms", flush=True)
+
+
 def d1c():
     """compact_mask_pallas tile sweep at 2^25 -> 2^24 (the 14.31 ms
     reading at tile=2048 looks op-bound, not BW-bound)."""
