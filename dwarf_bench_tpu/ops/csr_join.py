@@ -146,6 +146,16 @@ def probe_merge(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
     following query rows; the NEXT segment's start arrives by a suffix
     ``cummin``, giving counts as differences. A second sort restores query
     order. Two sorts + three scans, all streaming ops.
+
+    NOTE (round 5): this is the round-4 full-concat-sort formulation.
+    The bulk hash probes were rebuilt on the two-pass Pallas bitonic
+    merge (ops/bitonic_pallas + ops/merge_fill_pallas — 3x at 2^24; see
+    merge_lookup.merge_lookup_bitonic); the same decomposition applies
+    here (distinct_keys are pre-sorted; pos/count ride as two delta
+    streams in a 4-column merge) and is the known upgrade path if the
+    wide-key join ever appears on a benchmark grid — the benchmark's
+    [1, 10000] columns always take probe_dense, so this path is
+    correctness-critical but not perf-critical today.
     """
     q = b_keys.astype(jnp.uint32)
     nb = q.shape[0]
