@@ -63,6 +63,8 @@ class CuckooTable(NamedTuple):
     success: jnp.ndarray  # bool scalar: did the build converge
     rounds: jnp.ndarray  # int32 scalar: rounds taken
     keys_sorted: jnp.ndarray  # (n,) sorted inserted keys for bulk ``has``
+    vals_sorted: jnp.ndarray  # (n,) values in keys_sorted order (zeros
+    # when built without values) — the bulk ``at`` merge probe's payload
 
     @property
     def size(self) -> int:
@@ -299,16 +301,23 @@ def build(
     success = jnp.all(slot >= 0) & ~overflow
 
     payload: Tuple[jnp.ndarray, ...] = ()
+    # sorted copy of the INSERTED keys (n, not size): the bulk ``has``/
+    # ``at`` merge probes need it; one n-element (pair) sort is noise
+    # next to the scatter/gather rounds above
     if values is not None:
         buf = jnp.zeros((size,), dtype=values.dtype)
         safe = jnp.where(slot >= 0, slot, size)
         payload = (buf.at[safe].set(values, mode="drop"),)
-    # sorted copy of the INSERTED keys (n, not size): the bulk ``has``
-    # merge probe needs it; one n-element sort is noise next to the
-    # scatter/gather rounds above
-    (keys_sorted,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
+        keys_sorted, vals_sorted = jax.lax.sort(
+            (keys, values.astype(jnp.uint32)), num_keys=1,
+            is_stable=False,
+        )
+    else:
+        (keys_sorted,) = jax.lax.sort((keys,), num_keys=1,
+                                      is_stable=False)
+        vals_sorted = jnp.zeros_like(keys_sorted)
     return CuckooTable(table, payload, seed1, seed2, success, rounds2,
-                       keys_sorted)
+                       keys_sorted, vals_sorted)
 
 
 @jax.jit
@@ -345,8 +354,21 @@ def has(table: CuckooTable, queries: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def at(table: CuckooTable, queries: jnp.ndarray):
-    """2-probe value lookup: returns (found, value)."""
+    """Value lookup: returns (found, value). Small batches: the 2-probe
+    gather pair (cuckoo_hashtable.hpp:29-41). Bulk batches on
+    accelerators: the bitonic sort-merge probe against the build-sorted
+    (key, value) pairs — same engine family as ``has``; values return
+    as uint32. The ``has`` success contract applies."""
     q = queries.astype(jnp.uint32)
+    if (
+        queries.shape[0] >= (1 << 16)
+        and jax.default_backend() != "cpu"
+    ):
+        from .merge_lookup import merge_lookup_bitonic
+
+        return merge_lookup_bitonic(
+            table.keys_sorted, table.vals_sorted, q
+        )
     size = table.size
     h1 = murmur3_32(q, table.seed1, size).astype(jnp.int32)
     h2 = _hash2(q, table.seed2, size).astype(jnp.int32)

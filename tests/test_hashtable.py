@@ -137,6 +137,24 @@ class TestCuckoo:
         assert bool(np.all(np.asarray(found)))
         assert np.array_equal(np.asarray(got), vals)
 
+    def test_bulk_at_payload_order(self, rng):
+        """vals_sorted must ride keys_sorted's order: the bulk ``at``
+        engine (merge_lookup_bitonic over the build-sorted pairs) must
+        return every inserted key's value."""
+        from dwarf_bench_tpu.ops.merge_lookup import merge_lookup_bitonic
+
+        n = 1024
+        keys = rng.choice(np.arange(1, 65536), n, replace=False).astype(
+            np.uint32)
+        vals = rng.integers(1, 10000, n).astype(np.uint32)
+        t = cuckoo.build(jnp.asarray(keys), 4 * n, 9, 10, max_iters=256,
+                         values=jnp.asarray(vals))
+        assert bool(t.success)
+        f, v = merge_lookup_bitonic(t.keys_sorted, t.vals_sorted,
+                                    jnp.asarray(keys))
+        assert bool(np.all(np.asarray(f)))
+        assert np.array_equal(np.asarray(v), vals)
+
     def test_phase_split_small_compact_cap(self, rng):
         """Round-5 phase structure: force the full-round -> compacted
         active-set handoff with a tiny compact_cap, and verify the build
