@@ -1,7 +1,7 @@
 """Mask-driven multi-column Pallas streaming compaction.
 
 Generalizes the TwoPassScan kernel (ops/scan_pallas.py) from "predicate
-computed in-kernel, one column" to "caller-supplied mask column, 1–2 value
+computed in-kernel, one column" to "caller-supplied mask column, 1–3 value
 columns": the butterfly's routing decisions (take/displacement/alive) are
 computed ONCE from the mask and applied to every column, so compacting a
 (position, value) pair costs ~1.3× one column instead of 2 passes.
@@ -199,12 +199,12 @@ def compact_mask_pallas(
     tile: int = 2048,
     interpret: bool = False,
 ):
-    """copy_if by mask: compact each int32 column in ``cols`` (1 or 2) to
+    """copy_if by mask: compact each int32 column in ``cols`` (1-3) to
     the front, preserving order. Returns (tuple_of_outs, count); outputs
     have garbage past ``count``."""
     cols = tuple(cols)
     ncols = len(cols)
-    assert 1 <= ncols <= 2
+    assert 1 <= ncols <= 3
     n = mask.shape[0]
     if capacity is None:
         capacity = n

@@ -191,6 +191,94 @@ def probe_merge(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
     )
 
 
+@jax.jit
+def probe_merge_bitonic(t: CsrJoinTable, b_keys: jnp.ndarray) -> CsrProbeResult:
+    """``probe_merge`` semantics on the round-5 bitonic engine (the
+    wide-key path's answer to merge_lookup_bitonic — see the NOTE on
+    ``probe_merge``): the distinct keys are pre-sorted at build, so the
+    probe is one query pair sort + a 4-column two-pass Pallas bitonic
+    merge carrying BOTH per-segment columns as delta streams (pos and
+    count each telescope under cumsum over the merged order, exactly
+    like the value fill), then one 3-column compaction + one unstable
+    3-operand unsort. Observable outputs identical to ``probe`` /
+    ``probe_merge`` (oracle-defined correctness).
+
+    Requires nb < 2^30. CPU falls back to ``probe_merge`` (the Pallas
+    engines are accelerator paths; trace-time dispatch like every
+    engine here)."""
+    if jax.default_backend() == "cpu":
+        return probe_merge(t, b_keys)
+    from .bitonic_pallas import merge_bitonic_pallas
+    from .compact_pallas import compact_mask_pallas
+
+    q = b_keys.astype(jnp.uint32)
+    nb = q.shape[0]
+    cap = t.distinct_keys.shape[0]
+    TAG = np.uint32(0x80000000)
+
+    qi = jnp.arange(nb, dtype=jnp.uint32)
+    qs, qidx = jax.lax.sort((q, qi), num_keys=2, is_stable=False)
+
+    dk = t.distinct_keys
+    pos32 = t.pos.astype(jnp.uint32)
+    cnt32 = t.counts.astype(jnp.uint32)
+    dpos = (pos32 - jnp.roll(pos32, 1)).at[0].set(pos32[0])
+    dcnt = (cnt32 - jnp.roll(cnt32, 1)).at[0].set(cnt32[0])
+
+    total = cap + nb
+    n_pow2 = 1 << max(total - 1, 0).bit_length()
+    npad = n_pow2 - total
+    keys_all = jnp.concatenate(
+        [dk, jnp.full((npad,), hashtable.EMPTY, jnp.uint32), jnp.flip(qs)]
+    )
+    aux_all = jnp.concatenate(
+        [jnp.zeros((cap,), jnp.uint32),
+         jnp.full((npad,), 0xFFFFFFFF, jnp.uint32),
+         jnp.flip(TAG | qidx)]
+    )
+    zq = jnp.zeros((npad + nb,), jnp.uint32)
+    dpos_all = jnp.concatenate([dpos, zq])
+    dcnt_all = jnp.concatenate([dcnt, zq])
+    sk, sa, sp, sc = merge_bitonic_pallas(
+        (keys_all, aux_all, dpos_all, dcnt_all), num_cmp=2
+    )
+
+    is_src = (sa & TAG) == 0
+    # seen-a-source guard folds into the max(key+1) carry (EMPTY+1
+    # wraps to 0 = "none" and is absorbed by the max)
+    carry = jax.lax.cummax(
+        jnp.where(is_src, sk + jnp.uint32(1), jnp.uint32(0))
+    )
+    found = (
+        (~is_src) & (carry == sk + jnp.uint32(1))
+        & (sk != hashtable.EMPTY)
+    )
+    fpos = jnp.cumsum(jnp.where(is_src, sp, 0), dtype=jnp.uint32)
+    fcnt = jnp.cumsum(jnp.where(is_src, sc, 0), dtype=jnp.uint32)
+    qp = sa & jnp.uint32(0x7FFFFFFF)
+    is_real = (~is_src) & (qp < jnp.uint32(nb))
+    dest = jnp.where(
+        is_real, (qp << 1) | found.astype(jnp.uint32),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    fpos = jnp.where(found, fpos, 0)
+    fcnt = jnp.where(found, fcnt, 0)
+    (dest, fpos, fcnt), _ = compact_mask_pallas(
+        is_real, (dest, fpos, fcnt), capacity=nb
+    )
+    sd, p2, c2 = jax.lax.sort(
+        (dest.astype(jnp.uint32), fpos, fcnt), num_keys=1,
+        is_stable=False,
+    )
+    sd, p2, c2 = sd[:nb], p2[:nb], c2[:nb]
+    fnd = (sd & jnp.uint32(1)) == 1
+    return CsrProbeResult(
+        fnd,
+        jnp.where(fnd, p2, 0).astype(jnp.int32),
+        jnp.where(fnd, c2, 0).astype(jnp.int32),
+    )
+
+
 class DenseCsrTable(NamedTuple):
     """CSR join index for narrow key ranges (span < 2^14 after a min-shift
     — the benchmark's uniform [1, 10000] columns, common/common.hpp:31-40).

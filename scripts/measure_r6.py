@@ -376,6 +376,54 @@ def d1f():
         print(f"d1f fill {label} 2^25: {t*1e3:.2f} ms", flush=True)
 
 
+def j1():
+    """Wide-key CSR probe: probe_merge_bitonic vs probe_merge on device
+    (validation digest + A/B timing) at 2^20 distinct keys (1-to-many,
+    x4 rows) and 2^21 queries — the JoinOmnisci general path."""
+    from dwarf_bench_tpu.ops import csr_join
+
+    rng = np.random.default_rng(13)
+    nd = 1 << 20
+    n = nd * 4
+    nq = 1 << 21
+    pool = rng.choice(1 << 30, nd, replace=False).astype(np.uint32)
+    a = rng.choice(pool, n).astype(np.uint32)
+    q = np.concatenate([
+        rng.choice(pool, nq // 2).astype(np.uint32),
+        rng.integers(1 << 30, 1 << 31, nq // 2).astype(np.uint32),
+    ])
+    rng.shuffle(q)
+    da, dq = jnp.asarray(a), jnp.asarray(q)
+    t = jax.jit(partial(csr_join.build, distinct_cap=1 << 20,
+                        ht_size=1 << 22))(da)
+
+    def digest(r):
+        w = jnp.arange(1, nq + 1, dtype=jnp.uint32)
+        return jnp.stack([
+            jnp.sum(r.found.astype(jnp.uint32)),
+            jnp.sum(r.pos.astype(jnp.uint32) * w),
+            jnp.sum(r.counts.astype(jnp.uint32) * w),
+        ])
+
+    d0 = np.asarray(jax.jit(
+        lambda tt, qq: digest(csr_join.probe_merge(tt, qq)))(t, dq))
+    d1_ = np.asarray(jax.jit(
+        lambda tt, qq: digest(csr_join.probe_merge_bitonic(tt, qq)))(
+            t, dq))
+    ok = np.array_equal(d0, d1_)
+    print(f"j1 digest merge={d0.tolist()} bitonic={d1_.tolist()} "
+          f"{'OK' if ok else 'MISMATCH'}", flush=True)
+    assert ok
+    for label, fn in (("probe_merge", csr_join.probe_merge),
+                      ("probe_merge_bitonic",
+                       csr_join.probe_merge_bitonic)):
+        f = jax.jit(fn)
+        _, _ = timed(f, t, dq)
+        tt = time_amortized(f, t, dq)
+        print(f"j1 {label} 2^20d/2^21q: {tt*1e3:.2f} ms = "
+              f"{nq/tt/1e9:.3f} Gprobes/s", flush=True)
+
+
 def d1g():
     """Glue attribution: the v16 pipeline sums 35+9+5+13+32 = 94 ms of
     stages but measures 117 end-to-end — time ablated prefixes."""

@@ -384,3 +384,22 @@ class TestReducePallas:
         got = int(np.asarray(red.reduce_sum_pallas(jnp.asarray(x),
                                                    interpret=True)))
         assert np.int32(got) == red.reduce_oracle(x)
+
+
+class TestProbeMergeBitonic:
+    def test_matches_probe_wide_keys(self, rng):
+        # wide keys (dense path inapplicable); CPU takes the probe_merge
+        # fallback — contract equality with the hash-chain probe
+        n = 5000
+        pool = rng.choice(1 << 30, 3000, replace=False).astype(np.uint32)
+        a = rng.choice(pool, n).astype(np.uint32)  # duplicates: 1-to-many
+        b = np.concatenate([rng.permutation(a)[: n // 2],
+                            rng.integers(1 << 30, 1 << 31, n - n // 2)
+                            .astype(np.uint32)])
+        t = csr_join.build(jnp.asarray(a), 4096, 8192)
+        r0 = csr_join.probe(t, jnp.asarray(b))
+        r1 = csr_join.probe_merge_bitonic(t, jnp.asarray(b))
+        assert np.array_equal(np.asarray(r0.found), np.asarray(r1.found))
+        assert np.array_equal(np.asarray(r0.pos), np.asarray(r1.pos))
+        assert np.array_equal(np.asarray(r0.counts),
+                              np.asarray(r1.counts))
