@@ -223,6 +223,12 @@ def merge_lookup_bitonic(
 
     if compact_first is None:
         compact_first = jax.default_backend() != "cpu"
+    # val_bits=16: carry the value column at u16 through the unsort —
+    # lax.sort cost tracks operand bytes (2-op u32+u16 27.9 ms vs
+    # u32+u32 32.0 at 2^24, cast included; measure_r7 w1/w3). The cast
+    # happens AFTER the Pallas compaction (sub-32-bit VMEM loads
+    # relayout ~3x slower than i32, so the compaction stays i32).
+    val16_carry = (not membership) and val_bits == 16
     cols_u = (dest,) if membership else (dest, val)
     if compact_first:
         # every real query appears exactly once, so capacity == count;
@@ -246,8 +252,10 @@ def merge_lookup_bitonic(
         sd = sd[:nq]
         found_out = (sd & jnp.uint32(1)) == 1
         return found_out, jnp.zeros((nq,), jnp.uint32)
+    if val16_carry:
+        cols_u = (cols_u[0], cols_u[1].astype(jnp.uint16))
     sd, sval = jax.lax.sort(cols_u, num_keys=1, is_stable=False)
-    sd, sval = sd[:nq], sval[:nq]
+    sd, sval = sd[:nq], sval[:nq].astype(jnp.uint32)
     found_out = (sd & jnp.uint32(1)) == 1
     return found_out, jnp.where(found_out, sval, jnp.uint32(0))
 

@@ -1,0 +1,122 @@
+"""Round-5 TPU experiments, batch 2: lax.sort dtype-width scaling.
+
+The probe wall arithmetic (docs/performance.md round 5) prices every
+permutation move at the measured u32 lax.sort rates (18.1/31.9/34.9 ms
+for 1-op/2-op/2-op-nk2 at 2^24). The join's u16-key pair sort measured
+0.868 ms at 2^20 — n log^2 n scaling predicts ~20 ms at 2^24, i.e.
+~1.6x cheaper than the u32 2-op — suggesting the sort network's cost
+tracks operand BYTES (16-bit lanes pack 2x per vreg). Untested at 2^24.
+
+If real, the bulk-probe unsort (val_bits=16 path: values < 2^16 by
+caller contract, sorted today as u32) can carry its value column at u16
+and the wall table gains a dtype axis.
+
+Groups (`python scripts/measure_r7.py w1 ...`):
+
+  w1: 2-op (u32 key, u16 payload) vs (u32, u32) at 2^24 — the unsort
+      candidate (key must stay u32: dest packs a 25-bit index).
+  w2: 2-op (u16 key, u32 payload) + 1-op (u16,) at 2^24 — key-width
+      characterization for the wall table.
+  w3: A/B the val_bits=16 probe unsort stage: (dest u32, val u32) vs
+      (dest u32, val u16) including the u32->u16 cast, 2^24.
+
+  CAUTION: QUIET HOST; ms-scale kernels so queue-k timing is valid.
+  Each dtype mix is a fresh remote compile — budget minutes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dwarf_bench_tpu.common.device import enable_persistent_compile_cache
+from dwarf_bench_tpu.utils.timing import time_amortized
+
+enable_persistent_compile_cache()
+
+
+def _mk(n=1 << 24, seed=2):
+    rng = np.random.default_rng(seed)
+    k32 = jnp.asarray(
+        rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    )
+    p32 = jnp.arange(n, dtype=jnp.uint32)
+    k16 = jnp.asarray(rng.integers(0, 1 << 16, n, dtype=np.uint32)
+                      .astype(np.uint16))
+    p16 = jnp.asarray((np.arange(n) & 0xFFFF).astype(np.uint16))
+    return k32, p32, k16, p16
+
+
+def w1():
+    n = 1 << 24
+    k32, p32, k16, p16 = _mk(n)
+    cases = {
+        "2-op (u32,u32)": (jax.jit(lambda a, b: jax.lax.sort(
+            (a, b), num_keys=1, is_stable=False)), (k32, p32)),
+        "2-op (u32,u16)": (jax.jit(lambda a, b: jax.lax.sort(
+            (a, b), num_keys=1, is_stable=False)), (k32, p16)),
+    }
+    for label, (fn, args) in cases.items():
+        t = time_amortized(fn, *args, k=8)
+        print(f"w1 lax.sort {label} 2^24: {t*1e3:.2f} ms", flush=True)
+
+
+def w2():
+    n = 1 << 24
+    k32, p32, k16, p16 = _mk(n)
+    cases = {
+        "2-op (u16,u32)": (jax.jit(lambda a, b: jax.lax.sort(
+            (a, b), num_keys=1, is_stable=False)), (k16, p32)),
+        "1-op (u16,)": (jax.jit(lambda a, b: jax.lax.sort(
+            (a,), num_keys=1, is_stable=False)), (k16, p32)),
+        "1-op (u32,)": (jax.jit(lambda a, b: jax.lax.sort(
+            (a,), num_keys=1, is_stable=False)), (k32, p32)),
+    }
+    for label, (fn, args) in cases.items():
+        t = time_amortized(fn, *args, k=8)
+        print(f"w2 lax.sort {label} 2^24: {t*1e3:.2f} ms", flush=True)
+
+
+def w3():
+    """The probe unsort stage as shipped (u32 val) vs u16-val carry,
+    cast included — dest packs (qp << 1 | found), distinct, < 2^25."""
+    n = 1 << 24
+    rng = np.random.default_rng(3)
+    dest = jnp.asarray(
+        ((rng.permutation(n) << 1) | rng.integers(0, 2, n))
+        .astype(np.uint32)
+    )
+    val = jnp.asarray(rng.integers(0, 1 << 16, n).astype(np.uint32))
+
+    @jax.jit
+    def unsort_u32(d, v):
+        sd, sv = jax.lax.sort((d, v), num_keys=1, is_stable=False)
+        return sd, sv
+
+    @jax.jit
+    def unsort_u16(d, v):
+        sd, sv = jax.lax.sort(
+            (d, v.astype(jnp.uint16)), num_keys=1, is_stable=False
+        )
+        return sd, sv.astype(jnp.uint32)
+
+    for label, fn in (("u32 val", unsort_u32), ("u16 val", unsort_u16)):
+        t = time_amortized(fn, dest, val, k=8)
+        print(f"w3 unsort {label} 2^24: {t*1e3:.2f} ms", flush=True)
+    a = unsort_u32(dest, val)
+    b = unsort_u16(dest, val)
+    same = bool(jax.jit(
+        lambda x, y: (x[0] == y[0]).all() & (x[1] == y[1]).all()
+    )(a, b))
+    print(f"w3 exact match: {same}", flush=True)
+
+
+if __name__ == "__main__":
+    for g in sys.argv[1:] or ["w1", "w2", "w3"]:
+        globals()[g]()
