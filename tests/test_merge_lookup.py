@@ -76,6 +76,22 @@ def test_bitonic_matches_dict(rng, nt, nq, val_bits, compact_first):
     assert np.array_equal(np.asarray(val), exp_v)
 
 
+@pytest.mark.parametrize("compact_first", [False, True])
+def test_bitonic_val16_boundary_values(rng, compact_first):
+    # the unsort carries the value column at u16 when val_bits=16
+    # (measure_r7): 0 and 65535 must round-trip the narrow carry exactly
+    keys = np.array([2, 10, 99, 1000, 77], np.uint32)
+    vals = np.array([0, 65535, 1, 65534, 32768], np.uint32)
+    q = np.array([10, 2, 3, 77, 1000, 99, 10], np.uint32)
+    sk, sv = sort_table(jnp.asarray(keys), jnp.asarray(vals))
+    found, val = merge_lookup_bitonic(
+        sk, sv, jnp.asarray(q), val_bits=16, compact_first=compact_first
+    )
+    assert list(np.asarray(found)) == [True, True, False, True, True,
+                                       True, True]
+    assert list(np.asarray(val)) == [65535, 0, 0, 32768, 65534, 1, 65535]
+
+
 def test_bitonic_wide_vals_and_dup_queries(rng):
     # values past 2^16 require val_bits=32; duplicate queries must all
     # resolve identically
