@@ -107,8 +107,12 @@ def build(
     after the first few. The build now switches phases:
 
       1. FULL bulk rounds only while the unplaced count exceeds
-         ``compact_cap`` (default n/128) — typically 2-4 rounds at 4x
-         slots;
+         ``compact_cap`` — default n/8, chosen so phase 1 is ONE round:
+         round 1 (every key on h1 at 4x slots) places the bucket
+         winners, leaving ~1 − 4(1 − e^(−1/4)) ≈ 11.5% < 12.5%
+         unplaced; the late-round-5 cap sweep (measure_r7 c2) measured
+         warm builds at 2^24 of 6.98 / 6.09 / 4.38 s for caps
+         n/128 / n/16 / n/8, all converging with 0 unplaced-by-value;
       2. the unplaced (key, side) set is COMPACTED to a (compact_cap,)
          active array, and the same claim/evict rounds continue on it —
          displaced residents re-enter the active array in the winner's
@@ -129,7 +133,7 @@ def build(
     h2 = _hash2(keys, seed2, size).astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
     if compact_cap is None:
-        compact_cap = max(1024, n >> 7)
+        compact_cap = max(1024, n >> 3)
     cap = min(compact_cap, n)
 
     table0 = jnp.full((size,), EMPTY, dtype=jnp.uint32)

@@ -117,6 +117,49 @@ def w3():
     print(f"w3 exact match: {same}", flush=True)
 
 
+def c2():
+    """Cuckoo build phase-switch threshold sweep at 2^24 (late round 5).
+
+    Phase-1 FULL rounds cost ~4 serialized O(n) scatter/gather passes
+    each; phase-2 active rounds at cap=c cost O(c) + one O(size) claims
+    zeroing. Round 1 (all keys on h1, 4x slots) leaves ~1 - 4(1-e^-1/4)
+    = ~11.5% unplaced, so cap = n/8 should switch after ONE full round
+    vs 2-4 at the shipped n/128. Warm build + 2-probe validation per
+    cap."""
+    import time as _time
+
+    from dwarf_bench_tpu.ops import cuckoo
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    keys = (rng.permutation(2 * n)[:n].astype(np.uint32) + 1)
+    dk = jnp.asarray(keys)
+
+    from dwarf_bench_tpu.utils.timing import timed
+
+    for label, cap in (("n>>7 (shipped)", n >> 7), ("n>>4", n >> 4),
+                       ("n>>3", n >> 3)):
+        tbl, _ = timed(
+            cuckoo.build, dk, 4 * n, np.uint32(0x9E3779B9),
+            np.uint32(0x85EBCA6B), 256, None, cap,
+        )  # compile + first run
+        _, t_warm = timed(
+            cuckoo.build, dk, 4 * n, np.uint32(0x9E3779B9),
+            np.uint32(0x85EBCA6B), 256, None, cap,
+        )
+        h1 = cuckoo.murmur3_32(dk, tbl.seed1, 4 * n).astype(jnp.int32)
+        h2 = cuckoo._hash2(dk, tbl.seed2, 4 * n).astype(jnp.int32)
+        miss = int(np.asarray(jax.jit(lambda a, b, c: jnp.sum(
+            ((a[b] != dk) & (a[c] != dk)).astype(jnp.int32)
+        ).reshape(1))(tbl.keys, h1, h2))[0])
+        rounds = int(np.asarray(jax.jit(lambda r: r.reshape(1))(
+            tbl.rounds))[0])
+        ok = bool(np.asarray(jax.jit(lambda s: s.reshape(1))(
+            tbl.success))[0])
+        print(f"c2 cap={label}: warm {t_warm:.2f} s rounds={rounds} "
+              f"success={ok} unplaced-by-value={miss}", flush=True)
+
+
 if __name__ == "__main__":
     for g in sys.argv[1:] or ["w1", "w2", "w3"]:
         globals()[g]()
