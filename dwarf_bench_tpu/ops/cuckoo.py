@@ -174,61 +174,98 @@ def build(
     )
 
     # --- phase 2: compacted active-set rounds (round 5) ---------------
+    # Late round 5: a CASCADE of active-set caps. At the n/8 entry cap
+    # the valid count collapses within a few rounds, but every round
+    # still pays O(cap) gathers/scatters; once the count drops under
+    # the n/128 tail cap the working set is re-compacted and the same
+    # rounds continue at ~1/16 the per-round cost (measure_r7 c3).
+
+    def _compact_active(mask, k, s, capacity):
+        if jax.default_backend() != "cpu":
+            from .compact_pallas import compact_mask_pallas
+
+            (ck, cs), _ = compact_mask_pallas(
+                mask, (k, s.astype(jnp.uint32)), capacity=capacity
+            )
+        else:
+            from .primitives import compact_multi
+
+            (ck, cs), _ = compact_multi(
+                (k, s.astype(jnp.uint32)), mask, capacity=capacity
+            )
+        # compact_mask_pallas returns int32 columns — restore uint32
+        # (the while_loop carries and the table scatter are uint32)
+        count = jnp.sum(mask.astype(jnp.int32))
+        cidx = jnp.arange(capacity, dtype=jnp.int32)
+        valid = cidx < jnp.minimum(count, capacity)
+        ck = jnp.where(valid, ck.astype(jnp.uint32), EMPTY)
+        return ck, cs.astype(jnp.uint32), valid
+
+    def _active_rounds(table, ak0, aside0, avalid0, it0, stop_count):
+        aidx = jnp.arange(ak0.shape[0], dtype=jnp.int32)
+
+        def cond2(state):
+            table, ak, aside, avalid, it = state
+            go = jnp.logical_and(it < it0 + max_iters, jnp.any(avalid))
+            if stop_count is not None:
+                # hand off to the tail stage once the set fits its cap
+                go = jnp.logical_and(
+                    go,
+                    jnp.sum(avalid.astype(jnp.int32))
+                    > jnp.int32(stop_count),
+                )
+            return go
+
+        def body2(state):
+            table, ak, aside, avalid, it = state
+            h1a = murmur3_32(ak, seed1, size).astype(jnp.int32)
+            h2a = _hash2(ak, seed2, size).astype(jnp.int32)
+            cand = jnp.where(aside == 0, h1a, h2a)
+            pr = _rot_priority(aidx, it)
+            claims = jnp.zeros((size,), jnp.uint32)
+            claims = claims.at[jnp.where(avalid, cand, size)].max(
+                pr, mode="drop"
+            )
+            winner = avalid & (claims[cand] == pr)
+            old = table[cand]  # resident BEFORE this round's writes
+            table = table.at[jnp.where(winner, cand, size)].set(
+                ak, mode="drop"
+            )
+            displaced = jnp.where(winner, old, EMPTY)
+            # the displaced occupant re-enters the winner's active
+            # slot, set to try its OTHER hash next (the eviction-chain
+            # step by value)
+            ns = jnp.where(
+                murmur3_32(displaced, seed1, size).astype(jnp.int32)
+                == cand,
+                jnp.uint32(1), jnp.uint32(0),
+            )
+            ak = jnp.where(winner, displaced, ak)
+            aside = jnp.where(winner, ns, aside)
+            avalid = jnp.where(winner, displaced != EMPTY, avalid)
+            return table, ak, aside, avalid, it + 1
+
+        return jax.lax.while_loop(
+            cond2, body2, (table, ak0, aside0, avalid0, it0)
+        )
+
     res = resident(table, slot)
     n_unpl = jnp.sum((~res).astype(jnp.int32))
     overflow = n_unpl > cap  # only if max_iters ran out above
-    if jax.default_backend() != "cpu":
-        from .compact_pallas import compact_mask_pallas
-
-        (ak0, aside0), _ = compact_mask_pallas(
-            ~res, (keys, side.astype(jnp.uint32)), capacity=cap
-        )
-    else:
-        from .primitives import compact_multi
-
-        (ak0, aside0), _ = compact_multi(
-            (keys, side.astype(jnp.uint32)), ~res, capacity=cap
-        )
-    # compact_mask_pallas returns int32 columns — restore uint32 (the
-    # while_loop carries and the table scatter are uint32)
-    ak0 = ak0.astype(jnp.uint32)
-    aside0 = aside0.astype(jnp.uint32)
-    aidx = jnp.arange(cap, dtype=jnp.int32)
-    avalid0 = aidx < jnp.minimum(n_unpl, cap)
-    ak0 = jnp.where(avalid0, ak0, EMPTY)
-
-    def cond2(state):
-        table, ak, aside, avalid, it = state
-        return jnp.logical_and(it < rounds + max_iters, jnp.any(avalid))
-
-    def body2(state):
-        table, ak, aside, avalid, it = state
-        h1a = murmur3_32(ak, seed1, size).astype(jnp.int32)
-        h2a = _hash2(ak, seed2, size).astype(jnp.int32)
-        cand = jnp.where(aside == 0, h1a, h2a)
-        pr = _rot_priority(aidx, it)
-        claims = jnp.zeros((size,), jnp.uint32)
-        claims = claims.at[jnp.where(avalid, cand, size)].max(
-            pr, mode="drop"
-        )
-        winner = avalid & (claims[cand] == pr)
-        old = table[cand]  # resident BEFORE this round's writes
-        table = table.at[jnp.where(winner, cand, size)].set(ak, mode="drop")
-        displaced = jnp.where(winner, old, EMPTY)
-        # the displaced occupant re-enters the winner's active slot, set
-        # to try its OTHER hash next (the eviction-chain step by value)
-        ns = jnp.where(
-            murmur3_32(displaced, seed1, size).astype(jnp.int32) == cand,
-            jnp.uint32(1), jnp.uint32(0),
-        )
-        ak = jnp.where(winner, displaced, ak)
-        aside = jnp.where(winner, ns, aside)
-        avalid = jnp.where(winner, displaced != EMPTY, avalid)
-        return table, ak, aside, avalid, it + 1
-
-    table, ak, aside, avalid, rounds2 = jax.lax.while_loop(
-        cond2, body2, (table, ak0, aside0, avalid0, rounds)
+    tail_cap = max(1024, n >> 7)
+    ak0, aside0, avalid0 = _compact_active(~res, keys, side, cap)
+    table, ak, aside, avalid, rounds2 = _active_rounds(
+        table, ak0, aside0, avalid0, rounds,
+        stop_count=tail_cap if tail_cap < cap else None,
     )
+    if tail_cap < cap:
+        # a cap-exhausted stage with > tail_cap survivors drops entries
+        # here; the final BY-VALUE residency check then reports
+        # success=False and the host re-seeds (same as phase-1 overflow)
+        ak, aside, avalid = _compact_active(avalid, ak, aside, tail_cap)
+        table, ak, aside, avalid, rounds2 = _active_rounds(
+            table, ak, aside, avalid, rounds2, stop_count=None
+        )
 
     # --- phase 3: sequential straggler cleanup (round 4, re-driven) --
     # The synchronized rounds livelock on rare hash resonances (e.g.

@@ -160,6 +160,37 @@ def c2():
               f"success={ok} unplaced-by-value={miss}", flush=True)
 
 
+def c3():
+    """Cascaded active-set caps (n/8 -> n/128 tail stage) at 2^24:
+    warm build + validation vs the single-stage c2 numbers."""
+    from dwarf_bench_tpu.ops import cuckoo
+    from dwarf_bench_tpu.utils.timing import timed
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    keys = (rng.permutation(2 * n)[:n].astype(np.uint32) + 1)
+    dk = jnp.asarray(keys)
+    tbl, _ = timed(
+        cuckoo.build, dk, 4 * n, np.uint32(0x9E3779B9),
+        np.uint32(0x85EBCA6B), 256,
+    )
+    _, t_warm = timed(
+        cuckoo.build, dk, 4 * n, np.uint32(0x9E3779B9),
+        np.uint32(0x85EBCA6B), 256,
+    )
+    h1 = cuckoo.murmur3_32(dk, tbl.seed1, 4 * n).astype(jnp.int32)
+    h2 = cuckoo._hash2(dk, tbl.seed2, 4 * n).astype(jnp.int32)
+    miss = int(np.asarray(jax.jit(lambda a, b, c: jnp.sum(
+        ((a[b] != dk) & (a[c] != dk)).astype(jnp.int32)
+    ).reshape(1))(tbl.keys, h1, h2))[0])
+    rounds = int(np.asarray(jax.jit(lambda r: r.reshape(1))(
+        tbl.rounds))[0])
+    ok = bool(np.asarray(jax.jit(lambda s: s.reshape(1))(
+        tbl.success))[0])
+    print(f"c3 cascade: warm {t_warm:.2f} s rounds={rounds} "
+          f"success={ok} unplaced-by-value={miss}", flush=True)
+
+
 if __name__ == "__main__":
     for g in sys.argv[1:] or ["w1", "w2", "w3"]:
         globals()[g]()
