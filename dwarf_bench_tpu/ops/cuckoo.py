@@ -137,23 +137,40 @@ def build(
     cap = min(compact_cap, n)
 
     table0 = jnp.full((size,), EMPTY, dtype=jnp.uint32)
-    slot0 = jnp.full((n,), -1, jnp.int32)
-    side0 = jnp.zeros((n,), jnp.int32)
 
     def resident(table, slot):
         safe = jnp.maximum(slot, 0)
         return (slot >= 0) & (table[safe] == keys)
 
+    # --- phase 1, round 1 UNROLLED (late round 5) ---------------------
+    # Every key attempts h1 from an empty table, so the round needs no
+    # residency bookkeeping at all, and because the claims pass yields a
+    # UNIQUE winner per bucket, table[h1] == key holds for exactly the
+    # winners: res comes out of the round by construction — zero of the
+    # four ~245 ms full-set gathers the general round pays (measure_r7
+    # c4: scatter-max 201 / random gather 245 / table scatter 115 ms at
+    # 2^24 into 4n).
+    pr0 = _rot_priority(idx, jnp.int32(0))
+    claims0 = jnp.zeros((size,), jnp.uint32).at[h1].max(pr0)
+    win1 = claims0[h1] == pr0
+    table = table0.at[jnp.where(win1, h1, size)].set(keys, mode="drop")
+    slot = jnp.where(win1, h1, -1)
+    side = jnp.zeros((n,), jnp.int32)
+    res0 = win1
+
+    # fallback full-set rounds — entered only if round 1 left more than
+    # ``cap`` keys unplaced (at the default n/8 cap the expected
+    # leftover is ~11.5% of n, so this loop is a no-op; ``res`` rides
+    # the carry so the compaction below reuses it without a recompute)
     def cond(state):
-        table, slot, side, it = state
+        table, slot, side, res, it = state
         return jnp.logical_and(
             it < max_iters,
-            jnp.sum((~resident(table, slot)).astype(jnp.int32)) > cap,
+            jnp.sum((~res).astype(jnp.int32)) > cap,
         )
 
     def body(state):
-        table, slot, side, it = state
-        res = resident(table, slot)
+        table, slot, side, res, it = state
         evicted = (slot >= 0) & ~res
         side = jnp.where(evicted, 1 - side, side)
         slot = jnp.where(evicted, -1, slot)
@@ -167,10 +184,10 @@ def build(
         winner = active & (claims[cand] == pr)
         table = table.at[jnp.where(winner, cand, size)].set(keys, mode="drop")
         slot = jnp.where(winner, cand, slot)
-        return table, slot, side, it + 1
+        return table, slot, side, resident(table, slot), it + 1
 
-    table, slot, side, rounds = jax.lax.while_loop(
-        cond, body, (table0, slot0, side0, jnp.int32(0))
+    table, slot, side, res, rounds = jax.lax.while_loop(
+        cond, body, (table, slot, side, res0, jnp.int32(1))
     )
 
     # --- phase 2: compacted active-set rounds (round 5) ---------------
@@ -249,7 +266,8 @@ def build(
             cond2, body2, (table, ak0, aside0, avalid0, it0)
         )
 
-    res = resident(table, slot)
+    # ``res`` rides the phase-1 carry (round-1 unroll / loop body) — no
+    # post-loop residency recompute
     n_unpl = jnp.sum((~res).astype(jnp.int32))
     overflow = n_unpl > cap  # only if max_iters ran out above
     tail_cap = max(1024, n >> 7)
@@ -259,9 +277,13 @@ def build(
         stop_count=tail_cap if tail_cap < cap else None,
     )
     if tail_cap < cap:
-        # a cap-exhausted stage with > tail_cap survivors drops entries
-        # here; the final BY-VALUE residency check then reports
-        # success=False and the host re-seeds (same as phase-1 overflow)
+        # a cap-exhausted stage with > tail_cap survivors would DROP
+        # entries at this re-compaction: fold that into ``overflow`` so
+        # the flag-based success path below cannot report a false
+        # convergence (the values path additionally re-checks residency
+        # by value)
+        n_surv = jnp.sum(avalid.astype(jnp.int32))
+        overflow = overflow | (n_surv > tail_cap)
         ak, aside, avalid = _compact_active(avalid, ak, aside, tail_cap)
         table, ak, aside, avalid, rounds2 = _active_rounds(
             table, ak, aside, avalid, rounds2, stop_count=None
@@ -329,23 +351,22 @@ def build(
         # a chain that hit the cap made no progress guarantee: stop
         return tbl, av, total + steps, steps >= chain_cap
 
-    table, _, _, _ = jax.lax.while_loop(
+    table, av_final, _, stuck = jax.lax.while_loop(
         s_cond, s_body, (table, avalid, jnp.int32(0), jnp.bool_(False))
     )
-
-    # residency BY VALUE (chain moves bypass the per-key slot array)
-    at1 = table[h1] == keys
-    at2 = table[h2] == keys
-    slot = jnp.where(at1, h1, jnp.where(at2, h2, -1))
-    # overflow (phase-1 max_iters exhausted with > cap unplaced) drops
-    # keys in the compaction — surface it as non-convergence either way
-    success = jnp.all(slot >= 0) & ~overflow
 
     payload: Tuple[jnp.ndarray, ...] = ()
     # sorted copy of the INSERTED keys (n, not size): the bulk ``has``/
     # ``at`` merge probes need it; one n-element (pair) sort is noise
     # next to the scatter/gather rounds above
     if values is not None:
+        # residency BY VALUE (chain moves bypass per-key bookkeeping) —
+        # the payload scatter needs each key's final slot anyway, so
+        # the two full-table gathers double as the success check
+        at1 = table[h1] == keys
+        at2 = table[h2] == keys
+        slot = jnp.where(at1, h1, jnp.where(at2, h2, -1))
+        success = jnp.all(slot >= 0) & ~overflow
         buf = jnp.zeros((size,), dtype=values.dtype)
         safe = jnp.where(slot >= 0, slot, size)
         payload = (buf.at[safe].set(values, mode="drop"),)
@@ -354,6 +375,15 @@ def build(
             is_stable=False,
         )
     else:
+        # keys-only build: success from CONSERVATION instead of the two
+        # ~245 ms full-set gathers (measure_r7 c4). Every phase moves
+        # keys by value — a placed key leaves exactly when its occupant
+        # is picked up — and every point that can DROP a key raises a
+        # flag: phase-1 exhaustion (``overflow``), a stage-2
+        # re-compaction past its cap (folded into ``overflow`` above),
+        # and a chain-cap bail (``stuck``). An empty active set under
+        # clean flags therefore means every key is resident.
+        success = ~jnp.any(av_final) & ~stuck & ~overflow
         (keys_sorted,) = jax.lax.sort((keys,), num_keys=1,
                                       is_stable=False)
         vals_sorted = jnp.zeros_like(keys_sorted)

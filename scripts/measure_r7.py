@@ -191,6 +191,45 @@ def c3():
           f"success={ok} unplaced-by-value={miss}", flush=True)
 
 
+def c4():
+    """Decompose the remaining full-set round: each serialized n-pass
+    primitive at n=2^24 keys into a 2^26 table, plus one fused round
+    body — names where the ~2.7 s warm build goes."""
+    from dwarf_bench_tpu.ops.cuckoo import murmur3_32, _hash2, _rot_priority
+
+    rng = np.random.default_rng(0)
+    n = 1 << 24
+    size = 4 * n
+    keys = jnp.asarray(rng.permutation(2 * n)[:n].astype(np.uint32) + 1)
+    s1, s2 = np.uint32(0x9E3779B9), np.uint32(0x85EBCA6B)
+    h1 = jax.jit(lambda k: murmur3_32(k, s1, size).astype(jnp.int32))(keys)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pr = jax.jit(lambda i: _rot_priority(i, jnp.int32(0)))(idx)
+    table = jnp.full((size,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+
+    cases = {
+        "claims scatter-max n->4n": jax.jit(
+            lambda c, p: jnp.zeros((size,), jnp.uint32).at[c].max(
+                p, mode="drop")),
+        "gather claims[cand]": jax.jit(lambda t, c: t[c]),
+        "table scatter set": jax.jit(
+            lambda t, c, k: t.at[c].set(k, mode="drop")),
+        "murmur pair": jax.jit(lambda k: (
+            murmur3_32(k, s1, size), _hash2(k, s2, size))),
+    }
+    claims = cases["claims scatter-max n->4n"](h1, pr)
+    for label, fn in cases.items():
+        if label == "claims scatter-max n->4n":
+            t = time_amortized(fn, h1, pr, k=4)
+        elif label == "gather claims[cand]":
+            t = time_amortized(fn, claims, h1, k=4)
+        elif label == "table scatter set":
+            t = time_amortized(fn, table, h1, keys, k=4)
+        else:
+            t = time_amortized(fn, keys, k=4)
+        print(f"c4 {label}: {t*1e3:.1f} ms", flush=True)
+
+
 if __name__ == "__main__":
     for g in sys.argv[1:] or ["w1", "w2", "w3"]:
         globals()[g]()

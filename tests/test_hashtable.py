@@ -120,6 +120,32 @@ class TestCuckoo:
         assert bool(t.success)
         assert bool(np.all(np.asarray(cuckoo.has(t, jnp.asarray(keys)))))
 
+    def test_unplaceable_set_reports_failure(self):
+        # 3 keys sharing BOTH buckets can never cohabit 2 slots: the
+        # build must terminate and report success=False (the keys-only
+        # path derives success from the conservation flags — late
+        # round 5 — so this pins the failure semantics, not a hang)
+        size = 8
+        s1, s2 = np.uint32(11), np.uint32(22)
+        cand = np.arange(1, 20001, dtype=np.uint32)
+        h1 = np.asarray(cuckoo.murmur3_32(jnp.asarray(cand), s1, size))
+        h2 = np.asarray(cuckoo._hash2(jnp.asarray(cand), s2, size))
+        trio = None
+        for pair in range(size * size):
+            if pair // size == pair % size:
+                continue  # h1 == h2 keys have ONE slot: 2 already fail
+            m = (h1 == pair // size) & (h2 == pair % size)
+            if int(m.sum()) >= 3:
+                trio = cand[m][:3]
+                break
+        assert trio is not None, "no 3-key bucket collision in 20k keys"
+        t = cuckoo.build(jnp.asarray(trio), size, s1, s2, max_iters=64)
+        assert not bool(t.success)
+        # a 2-key subset of the same buckets is placeable
+        t2 = cuckoo.build(jnp.asarray(trio[:2]), size, s1, s2,
+                          max_iters=64)
+        assert bool(t2.success)
+
     def test_rejects_absent(self, rng):
         n = 200
         keys = rng.choice(np.arange(1, 2001), n, replace=False).astype(np.uint32)
