@@ -230,6 +230,26 @@ def c4():
         print(f"c4 {label}: {t*1e3:.1f} ms", flush=True)
 
 
+def c5():
+    """Warm cuckoo build: host np.uint32 seeds vs device-array seeds
+    (the hash_hit50 harness passes tbl.seed1/seed2 back in and reads
+    ~10x the bench's warm time — is the seed aval the cause?)."""
+    from dwarf_bench_tpu.ops import cuckoo
+    from dwarf_bench_tpu.utils.timing import timed
+    from dwarf_bench_tpu.common.datagen import make_unique_random
+
+    n = 1 << 24
+    keys = make_unique_random(n, seed=1234)
+    dk = jnp.asarray(keys)
+    s1, s2 = np.uint32(0x9E3779B9), np.uint32(0x85EBCA6B)
+    tbl, t_host = timed(cuckoo.build, dk, 4 * n, s1, s2, 256)
+    _, t_host = timed(cuckoo.build, dk, 4 * n, s1, s2, 256)
+    print(f"c5 np seeds warm: {t_host:.2f} s", flush=True)
+    _, t_dev = timed(cuckoo.build, dk, 4 * n, tbl.seed1, tbl.seed2, 256)
+    _, t_dev = timed(cuckoo.build, dk, 4 * n, tbl.seed1, tbl.seed2, 256)
+    print(f"c5 device-array seeds warm: {t_dev:.2f} s", flush=True)
+
+
 if __name__ == "__main__":
     for g in sys.argv[1:] or ["w1", "w2", "w3"]:
         globals()[g]()
